@@ -1,0 +1,108 @@
+"""Diffusion-space codecs: pixel, pre-encoded latent, and VAE latent.
+
+Capability parity: the reference folds encode/decode into GaussianDiffusion
+(gaussian_diffusion.py:173-181, 890-947: `diffusion_space` ∈ {pixel, latent},
+`pre_encoded` normalization stats, SVD-VAE encode/decode). Here they're
+separate codec objects so the diffusion core stays pure math; the train loop
+and sampler compose ``codec.encode`` / ``codec.decode`` around it.
+
+The primary production workflow matches the reference's pre-encoded path
+(`carla_no_traffic_2x_encoded`): videos are VAE-encoded offline and
+normalized, so training streams latents directly and only `decode` touches
+the VAE. The VAE itself is a Flax port behind ``VAECodec`` (weights converted
+offline from diffusers; see lfvdm_tpu/models/vae.py).
+"""
+
+from __future__ import annotations
+
+import dataclasses
+from typing import Optional
+
+import jax.numpy as jnp
+import numpy as np
+
+
+class PixelCodec:
+    """Identity codec: diffusion runs directly in pixel space."""
+
+    diffusion_space = "pixel"
+    pre_encoded = False
+
+    def encode(self, video, rng=None):
+        return video
+
+    def decode(self, video):
+        return video
+
+
+@dataclasses.dataclass
+class PreEncodedLatentCodec:
+    """Latents were produced offline; only de-normalization happens at decode.
+
+    ``mean``/``std`` are the channel-wise train-split statistics saved by the
+    offline encoder (reference: encode_latent.py:75-88 +
+    gaussian_diffusion.py:938-939). ``vae`` (optional) maps de-normalized
+    latents back to pixels at the end of sampling.
+    """
+
+    mean: np.ndarray  # (C,)
+    std: np.ndarray  # (C,)
+    vae: Optional["object"] = None  # VAECodec-like, for pixel decode
+
+    diffusion_space = "latent"
+    pre_encoded = True
+
+    def __post_init__(self):
+        self.mean = np.asarray(self.mean, dtype=np.float32).reshape(1, 1, -1, 1, 1)
+        self.std = np.asarray(self.std, dtype=np.float32).reshape(1, 1, -1, 1, 1)
+
+    def encode(self, video, rng=None):
+        # Inputs are already normalized latents.
+        return video
+
+    def decode(self, video):
+        video = video * jnp.asarray(self.std) + jnp.asarray(self.mean)
+        if self.vae is not None:
+            return self.vae.decode(video)
+        return video
+
+
+@dataclasses.dataclass
+class VAECodec:
+    """Online VAE encode/decode in latent space (non-pre-encoded training).
+
+    Wraps a Flax autoencoder with ``encode(x, rng) -> latents`` sampling
+    mean + eps*std from the latent distribution (reference
+    gaussian_diffusion.py:913-928) and ``decode(z) -> pixels``, chunked to
+    bound peak memory.
+    """
+
+    vae: "object"  # lfvdm_tpu.models.vae.FlaxAutoencoderKL bundle
+    chunk_size: int = 10
+
+    diffusion_space = "latent"
+    pre_encoded = False
+
+    def encode(self, video, rng=None):
+        return self.vae.encode_video(video, rng=rng, chunk_size=self.chunk_size)
+
+    def decode(self, video):
+        return self.vae.decode_video(video, chunk_size=self.chunk_size)
+
+
+def make_codec(diffusion_space: str, *, pre_encoded: bool = False,
+               pre_encoded_stats: Optional[dict] = None, vae=None, chunk_size: int = 10):
+    """Config-level codec factory (mirrors diffusion_space_kwargs wiring)."""
+    if diffusion_space in (None, "pixel"):
+        return PixelCodec()
+    if diffusion_space == "latent":
+        if pre_encoded:
+            assert pre_encoded_stats is not None, "pre-encoded latent space needs norm stats"
+            return PreEncodedLatentCodec(
+                mean=pre_encoded_stats["mean"], std=pre_encoded_stats["std"], vae=vae
+            )
+        assert vae is not None, "online latent space needs a VAE"
+        return VAECodec(vae=vae, chunk_size=chunk_size)
+    if diffusion_space == "wavelet":
+        raise NotImplementedError("wavelet diffusion space (unimplemented in reference too)")
+    raise ValueError(f"Unknown diffusion space: {diffusion_space}")

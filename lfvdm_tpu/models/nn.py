@@ -1,0 +1,111 @@
+"""NN primitives for the TPU video U-Net.
+
+Capability parity: /root/reference/improved_diffusion/nn.py (SiLU,
+GroupNorm32, zero_module, timestep_embedding). TPU-first choices:
+
+  * Activations are NHWC (channels-last) — XLA's native conv layout.
+  * GroupNorm statistics are always computed in float32 and cast back
+    (matches GroupNorm32 nn.py:17-19), which is required for bf16 stability.
+  * "zero modules" (reference nn.py:68-74) are zero-initialized Dense/Conv
+    layers rather than post-hoc parameter zeroing.
+"""
+
+from __future__ import annotations
+
+import math
+
+import jax
+import jax.numpy as jnp
+from flax import linen as nn
+
+
+def timestep_embedding(timesteps: jnp.ndarray, dim: int, max_period: float = 10000.0) -> jnp.ndarray:
+    """Sinusoidal timestep embeddings, [cos | sin] ordering (nn.py:105-123).
+
+    ``timesteps``: (N,) possibly-fractional values. Returns (N, dim) float32.
+    """
+    half = dim // 2
+    freqs = jnp.exp(
+        -math.log(max_period) * jnp.arange(half, dtype=jnp.float32) / half
+    )
+    args = timesteps.astype(jnp.float32)[:, None] * freqs[None]
+    embedding = jnp.concatenate([jnp.cos(args), jnp.sin(args)], axis=-1)
+    if dim % 2:
+        embedding = jnp.concatenate([embedding, jnp.zeros_like(embedding[:, :1])], axis=-1)
+    return embedding
+
+
+class GroupNorm32(nn.Module):
+    """GroupNorm with float32 statistics, channels-last.
+
+    Input (N, ..., C): statistics are computed per (sample, group) over all
+    middle axes and the group's channels — identical to torch GroupNorm on
+    (N, C, *spatial). The attention pre-norm feeds (N, tokens, C), so tokens
+    participate in the statistics, matching the reference exactly
+    (rpe.py:133-137).
+    """
+
+    groups: int = 32
+    eps: float = 1e-5
+
+    @nn.compact
+    def __call__(self, x: jnp.ndarray) -> jnp.ndarray:
+        C = x.shape[-1]
+        G = self.groups if C % self.groups == 0 else math.gcd(self.groups, C)
+        orig_dtype = x.dtype
+        scale = self.param("scale", nn.initializers.ones, (C,), jnp.float32)
+        bias = self.param("bias", nn.initializers.zeros, (C,), jnp.float32)
+
+        x32 = x.astype(jnp.float32)
+        xg = x32.reshape(x.shape[0], -1, G, C // G)
+        mean = xg.mean(axis=(1, 3), keepdims=True)
+        var = xg.var(axis=(1, 3), keepdims=True)
+        xg = (xg - mean) * jax.lax.rsqrt(var + self.eps)
+        x32 = xg.reshape(x32.shape)
+        return (x32 * scale + bias).astype(orig_dtype)
+
+
+def zero_init_dense(features: int, dtype=jnp.float32, name=None) -> nn.Dense:
+    """Dense layer with zero-initialized kernel and bias (a "zero module")."""
+    return nn.Dense(
+        features,
+        kernel_init=nn.initializers.zeros,
+        bias_init=nn.initializers.zeros,
+        dtype=dtype,
+        name=name,
+    )
+
+
+def zero_init_conv(features: int, kernel_size=(3, 3), dtype=jnp.float32, name=None) -> nn.Conv:
+    return nn.Conv(
+        features,
+        kernel_size,
+        padding="SAME",
+        kernel_init=nn.initializers.zeros,
+        bias_init=nn.initializers.zeros,
+        dtype=dtype,
+        name=name,
+    )
+
+
+def torch_style_conv_init(key, shape, dtype=jnp.float32):
+    """Kaiming-uniform(a=√5) fan-in init, torch's Conv/Linear default.
+
+    Kept so trained-parameter statistics match the reference's
+    initialization regime (matters for training-dynamics parity).
+    ``shape`` is flax's (kh, kw, in, out) for conv or (in, out) for dense.
+    """
+    fan_in = 1
+    for d in shape[:-1]:
+        fan_in *= d
+    bound = math.sqrt(1.0 / fan_in) * math.sqrt(3.0)
+    return jax.random.uniform(key, shape, dtype, minval=-bound, maxval=bound)
+
+
+def torch_style_bias_init_for(fan_in: int):
+    bound = 1.0 / math.sqrt(fan_in) if fan_in > 0 else 0.0
+
+    def init(key, shape, dtype=jnp.float32):
+        return jax.random.uniform(key, shape, dtype, minval=-bound, maxval=bound)
+
+    return init

@@ -1,0 +1,193 @@
+"""Relative-position (frame-distance) attention for video diffusion.
+
+Capability parity: /root/reference/improved_diffusion/rpe.py (iRPE-style
+relative position on q/k/v, arXiv:2107.14222 Eq. 16; continuous RPENet
+conditioned on diffusion time; two-group masked softmax).
+
+TPU-first design notes:
+  * Token axis is -2, channels last: x is (B, D, T, C) — einsums contract on
+    the minor dims the MXU likes; attention math runs in float32 via
+    ``preferred_element_type`` regardless of the bf16 torso.
+  * The two-group masked softmax (frames with mask=1 attend only among
+    themselves, mask=0 only among themselves — rpe.py:154-163) is fused into
+    the same fp32 softmax; padding frames can never contaminate real frames.
+  * K = max_frames ≤ 20, so the R tensor (B,T,T,H,F) is tiny; the einsum
+    path is already MXU-bound. A fused Pallas kernel lives in
+    lfvdm_tpu/ops/attention.py for the large-D spatial path.
+
+Reference bug NOT replicated: the lookup-table branch (use_rpe_net=False)
+references an undefined ``self.beta`` (rpe.py:49-52) and crashes; here it is
+a working clipped-distance table with window ``rpe_beta``.
+"""
+
+from __future__ import annotations
+
+from typing import Optional
+
+import jax
+import jax.numpy as jnp
+from flax import linen as nn
+
+from .nn import GroupNorm32, zero_init_dense
+
+
+class RPENet(nn.Module):
+    """Continuous relative-position network.
+
+    Maps (diffusion-time embedding, signed frame distance) to a per-head
+    bias table R of shape (B, T, T, heads, C/heads). Distance features are
+    [log1p(d⁺), log1p(d⁻), 1(d=0)] (rpe.py:20-31). The output projection is
+    zero-initialized so RPE starts as a no-op.
+    """
+
+    channels: int
+    num_heads: int
+    dtype: jnp.dtype = jnp.float32
+
+    @nn.compact
+    def __call__(self, temb: jnp.ndarray, relative_distances: jnp.ndarray) -> jnp.ndarray:
+        B, T, _ = relative_distances.shape
+        d = relative_distances.astype(jnp.float32)
+        distance_embs = jnp.stack(
+            [
+                jnp.log1p(jnp.maximum(d, 0.0)),
+                jnp.log1p(jnp.maximum(-d, 0.0)),
+                (d == 0.0).astype(jnp.float32),
+            ],
+            axis=-1,
+        ).astype(self.dtype)  # (B, T, T, 3)
+        emb = (
+            nn.Dense(self.channels, dtype=self.dtype, name="embed_diffusion_time")(temb)[
+                :, :, None, :
+            ]
+            + nn.Dense(self.channels, dtype=self.dtype, name="embed_distances")(distance_embs)
+        )  # (B, T, T, C)
+        out = zero_init_dense(self.channels, dtype=self.dtype, name="out")(nn.silu(emb))
+        return out.reshape(B, T, T, self.num_heads, self.channels // self.num_heads)
+
+
+class RPE(nn.Module):
+    """Relative-position bias provider: RPENet or a clipped lookup table."""
+
+    channels: int
+    num_heads: int
+    use_rpe_net: bool
+    rpe_beta: int = 64  # lookup-table window when use_rpe_net=False
+    dtype: jnp.dtype = jnp.float32
+
+    @nn.compact
+    def __call__(self, pairwise_distances: jnp.ndarray, temb: Optional[jnp.ndarray]) -> jnp.ndarray:
+        if self.use_rpe_net:
+            return RPENet(self.channels, self.num_heads, dtype=self.dtype, name="rpe_net")(
+                temb, pairwise_distances
+            )
+        table = self.param(
+            "lookup_table_weight",
+            nn.initializers.zeros,
+            (2 * self.rpe_beta + 1, self.num_heads, self.channels // self.num_heads),
+            jnp.float32,
+        )
+        idx = jnp.clip(pairwise_distances, -self.rpe_beta, self.rpe_beta) + self.rpe_beta
+        return table[idx].astype(self.dtype)  # (B, T, T, H, F)
+
+
+def two_group_softmax(logits: jnp.ndarray, attn_mask: Optional[jnp.ndarray]) -> jnp.ndarray:
+    """Softmax over the last axis with two-group connectivity.
+
+    ``logits``: (B, D, H, T, S); ``attn_mask``: (B, T) in {0, 1}. Tokens with
+    mask=1 attend only among themselves; tokens with mask=0 (padding frames)
+    only among themselves. Always computed in float32 (rpe.py:156-163).
+    """
+    logits = logits.astype(jnp.float32)
+    if attn_mask is not None:
+        m = attn_mask.astype(jnp.float32)
+        allowed = m[:, :, None] * m[:, None, :] + (1 - m[:, :, None]) * (1 - m[:, None, :])
+        logits = jnp.where(
+            (allowed > 0)[:, None, None, :, :], logits, jnp.finfo(jnp.float32).min
+        )
+    return jax.nn.softmax(logits, axis=-1)
+
+
+class RPEAttention(nn.Module):
+    """Pre-norm multi-head attention with optional RPE on q/k/v.
+
+    Input/output: (B, D, T, C) — attention over axis T, batched over (B, D).
+    The residual adds the attention output to the *normalized* input
+    (matching the reference's post-norm quirk, rpe.py:171-172).
+
+    Returns (out, attn) where attn is the (B, D, H, T, T) softmax weights
+    (for attention-heatmap logging) — pass ``return_attn=False`` to skip.
+    """
+
+    channels: int
+    num_heads: int
+    use_rpe_q: bool = True
+    use_rpe_k: bool = True
+    use_rpe_v: bool = True
+    use_rpe_net: bool = False
+    dtype: jnp.dtype = jnp.float32
+
+    @nn.compact
+    def __call__(
+        self,
+        x: jnp.ndarray,
+        temb: Optional[jnp.ndarray] = None,
+        frame_indices: Optional[jnp.ndarray] = None,
+        attn_mask: Optional[jnp.ndarray] = None,
+        return_attn: bool = False,
+    ):
+        B, D, T, C = x.shape
+        H = self.num_heads
+        F = C // H
+        scale = F**-0.5
+
+        h = GroupNorm32(name="norm")(x.reshape(B * D, T, C)).reshape(B, D, T, C)
+        qkv = nn.Dense(3 * C, dtype=self.dtype, name="qkv")(h)
+        qkv = qkv.reshape(B, D, T, 3, H, F)
+        q, k, v = (
+            jnp.moveaxis(qkv[:, :, :, i], -2, 2) for i in range(3)
+        )  # each (B, D, H, T, F)
+
+        logits = jnp.einsum(
+            "bdhtf,bdhsf->bdhts", q * scale, k, preferred_element_type=jnp.float32
+        )
+
+        use_any_rpe = self.use_rpe_q or self.use_rpe_k or self.use_rpe_v
+        if use_any_rpe:
+            assert frame_indices is not None
+            # d[t, s] = frame_indices[t] - frame_indices[s]  (rpe.py:146)
+            pd = frame_indices[:, :, None] - frame_indices[:, None, :]
+
+        def make_rpe(name):
+            return RPE(
+                channels=C, num_heads=H, use_rpe_net=self.use_rpe_net,
+                dtype=self.dtype, name=name,
+            )
+
+        if self.use_rpe_k:
+            R_k = make_rpe("rpe_k")(pd, temb)
+            logits = logits + jnp.einsum(
+                "bdhtf,btshf->bdhts", q * scale, R_k, preferred_element_type=jnp.float32
+            )
+        if self.use_rpe_q:
+            # Contribution(t, s) = (k_s * scale) · R_q[s, t]  (rpe.py:151-152)
+            R_q = make_rpe("rpe_q")(pd, temb)
+            logits = logits + jnp.einsum(
+                "bdhsf,bsthf->bdhts", k * scale, R_q, preferred_element_type=jnp.float32
+            )
+
+        attn = two_group_softmax(logits, attn_mask)
+        attn_c = attn.astype(self.dtype)
+        out = jnp.einsum("bdhts,bdhsf->bdhtf", attn_c, v, preferred_element_type=jnp.float32)
+        if self.use_rpe_v:
+            R_v = make_rpe("rpe_v")(pd, temb)
+            out = out + jnp.einsum(
+                "bdhts,btshf->bdhtf", attn_c, R_v, preferred_element_type=jnp.float32
+            )
+
+        out = jnp.moveaxis(out.astype(self.dtype), 2, -2).reshape(B, D, T, C)
+        out = zero_init_dense(C, dtype=self.dtype, name="proj_out")(out)
+        result = h + out  # residual on the normalized input (reference quirk)
+        if return_attn:
+            return result, attn
+        return result, None

@@ -1,0 +1,294 @@
+"""Frame-indexed video U-Net (Flax), TPU-native.
+
+Capability parity: /root/reference/improved_diffusion/unet.py:24-464 —
+2-D U-Net applied per-frame with factorized spatio-temporal attention,
+obs-indicator input channel, frame-index conditioned relative-position
+temporal attention, two-group attention masking.
+
+TPU-first design:
+  * NHWC activations end-to-end; (B, T, C, H, W) only at the public API
+    boundary (reference-compatible).
+  * bf16 compute / f32 params via the ``dtype`` field; GroupNorm and softmax
+    always reduce in f32 (matches the fp16-torso + f32-norm reference split,
+    unet.py:405-426, nn.py:17-19).
+  * Static shapes everywhere: timesteps broadcast (B,)->(B·T) with reshape,
+    frame gathers happen outside the model, attention length T = max_frames
+    is a compile-time constant.
+  * ``use_remat`` wraps ResBlock/attention in ``jax.checkpoint`` (the
+    reference's gradient checkpointing, nn.py:126-172).
+
+The vestigial ``get_feature_vectors`` (unet.py:466-493, broken in the
+reference) is intentionally not reproduced.
+"""
+
+from __future__ import annotations
+
+from typing import Optional, Tuple
+
+import jax.numpy as jnp
+from flax import linen as nn
+
+from .nn import GroupNorm32, timestep_embedding, zero_init_conv
+from .rpe import RPEAttention
+
+
+class ResBlock(nn.Module):
+    """Residual block with timestep-embedding conditioning (unet.py:117-207)."""
+
+    out_channels: int
+    dropout: float = 0.0
+    use_conv: bool = False  # 3x3 skip projection instead of 1x1
+    use_scale_shift_norm: bool = False
+    dtype: jnp.dtype = jnp.float32
+    train: bool = False
+
+    @nn.compact
+    def __call__(self, x, emb):
+        train = self.train
+        in_ch = x.shape[-1]
+        h = GroupNorm32(name="in_norm")(x)
+        h = nn.silu(h)
+        h = nn.Conv(self.out_channels, (3, 3), padding="SAME", dtype=self.dtype, name="in_conv")(h)
+
+        emb_out = nn.Dense(
+            2 * self.out_channels if self.use_scale_shift_norm else self.out_channels,
+            dtype=self.dtype,
+            name="emb_proj",
+        )(nn.silu(emb))  # (N, C') ; broadcast over H, W
+        emb_out = emb_out[:, None, None, :]
+
+        if self.use_scale_shift_norm:
+            scale, shift = jnp.split(emb_out, 2, axis=-1)
+            h = GroupNorm32(name="out_norm")(h) * (1 + scale) + shift
+            h = nn.silu(h)
+            h = nn.Dropout(self.dropout, deterministic=not train)(h)
+            h = zero_init_conv(self.out_channels, dtype=self.dtype, name="out_conv")(h)
+        else:
+            h = h + emb_out
+            h = GroupNorm32(name="out_norm")(h)
+            h = nn.silu(h)
+            h = nn.Dropout(self.dropout, deterministic=not train)(h)
+            h = zero_init_conv(self.out_channels, dtype=self.dtype, name="out_conv")(h)
+
+        if self.out_channels == in_ch:
+            skip = x
+        elif self.use_conv:
+            skip = nn.Conv(self.out_channels, (3, 3), padding="SAME", dtype=self.dtype, name="skip_conv")(x)
+        else:
+            skip = nn.Conv(self.out_channels, (1, 1), dtype=self.dtype, name="skip_conv")(x)
+        return skip + h
+
+
+class Downsample(nn.Module):
+    """Stride-2 spatial downsample: 3x3 conv or average pool (unet.py:91-114)."""
+
+    use_conv: bool = True
+    dtype: jnp.dtype = jnp.float32
+
+    @nn.compact
+    def __call__(self, x):
+        if self.use_conv:
+            return nn.Conv(
+                x.shape[-1], (3, 3), strides=(2, 2), padding=((1, 1), (1, 1)),
+                dtype=self.dtype, name="conv",
+            )(x)
+        return nn.avg_pool(x, (2, 2), strides=(2, 2))
+
+
+class Upsample(nn.Module):
+    """Nearest-neighbor 2x upsample + optional 3x3 conv (unet.py:60-88)."""
+
+    use_conv: bool = True
+    dtype: jnp.dtype = jnp.float32
+
+    @nn.compact
+    def __call__(self, x):
+        N, H, W, C = x.shape
+        x = jnp.repeat(jnp.repeat(x, 2, axis=1), 2, axis=2)
+        if self.use_conv:
+            x = nn.Conv(C, (3, 3), padding="SAME", dtype=self.dtype, name="conv")(x)
+        return x
+
+
+class FactorizedAttentionBlock(nn.Module):
+    """Temporal (RPE, masked) then spatial attention (unet.py:210-243).
+
+    ``T`` (frames per sample) and ``return_attn`` are compile-time module
+    attributes so the block stays remat-friendly (array-only call args).
+    """
+
+    num_heads: int
+    use_rpe_net: bool
+    T: int = 1
+    return_attn: bool = False
+    dtype: jnp.dtype = jnp.float32
+
+    @nn.compact
+    def __call__(self, x, temb, frame_indices, attn_mask):
+        T = self.T
+        return_attn = self.return_attn
+        BT, H, W, C = x.shape
+        B = BT // T
+        # Temporal: tokens = frames, batched over spatial sites.
+        xt = x.reshape(B, T, H * W, C).transpose(0, 2, 1, 3)  # (B, HW, T, C)
+        xt, attn_t = RPEAttention(
+            channels=C, num_heads=self.num_heads, use_rpe_net=self.use_rpe_net,
+            dtype=self.dtype, name="temporal_attention",
+        )(xt, temb=temb, frame_indices=frame_indices, attn_mask=attn_mask, return_attn=return_attn)
+
+        # Spatial: tokens = pixels, batched over frames. No RPE, no mask.
+        xs = xt.transpose(0, 2, 1, 3)  # (B, T, HW, C)
+        xs, attn_s = RPEAttention(
+            channels=C, num_heads=self.num_heads,
+            use_rpe_q=False, use_rpe_k=False, use_rpe_v=False,
+            dtype=self.dtype, name="spatial_attention",
+        )(xs, return_attn=return_attn)
+        out = xs.reshape(B * T, H, W, C)
+
+        attns = None
+        if return_attn:
+            # Per-layer (B, T, T) / (B, HW, HW): |mean over heads and sites|
+            # — matches the reference's logging reduction (rpe.py:126-131,
+            # gaussian_diffusion.py:448-469).
+            attns = {
+                "temporal": jnp.abs(attn_t.mean(axis=(1, 2))),
+                "spatial": jnp.abs(attn_s.mean(axis=(1, 2))),
+            }
+        return out, attns
+
+
+class UNetVideoModel(nn.Module):
+    """The full video U-Net.
+
+    Public call signature (reference-compatible, unet.py:428-464):
+      x:             (B, T, C, H, W) noisy frames
+      timesteps:     (B,) or (B, T) diffusion steps (may be fractional)
+      x0:            (B, T, C, H, W) clean frames (observed content)
+      frame_indices: (B, T) int — absolute frame positions in the video
+      obs_mask:      (B, T, 1, 1, 1) — 1 where the frame is observed
+      latent_mask:   (B, T, 1, 1, 1) — 1 where the frame is being generated
+    Returns (out, attns): out (B, T, out_C, H, W); attns is None unless
+    ``return_attn_weights``.
+    """
+
+    in_channels: int  # data channels, WITHOUT the obs-indicator channel
+    model_channels: int
+    out_channels: int
+    num_res_blocks: int
+    attention_resolutions: Tuple[int, ...]  # downsample factors, e.g. (4, 8)
+    dropout: float = 0.0
+    channel_mult: Tuple[int, ...] = (1, 2, 4, 8)
+    conv_resample: bool = True
+    num_heads: int = 1
+    num_heads_upsample: int = -1
+    use_scale_shift_norm: bool = False
+    use_rpe_net: bool = True
+    dtype: jnp.dtype = jnp.float32
+    use_remat: bool = False
+
+    @nn.compact
+    def __call__(
+        self,
+        x,
+        timesteps,
+        *,
+        x0,
+        frame_indices,
+        obs_mask,
+        latent_mask,
+        train: bool = False,
+        return_attn_weights: bool = False,
+    ):
+        B, T, C, Hs, Ws = x.shape
+        num_heads_up = self.num_heads if self.num_heads_upsample == -1 else self.num_heads_upsample
+
+        if timesteps.ndim == 1:
+            timesteps = jnp.broadcast_to(timesteps[:, None], (B, T))
+        attn_mask = jnp.clip(obs_mask + latent_mask, 0, 1).reshape(B, T)
+
+        # Observed frames bypass noising; an indicator channel marks them.
+        obs = obs_mask.astype(x.dtype)
+        indicator = jnp.ones_like(x[:, :, :1]) * obs
+        x_in = jnp.concatenate([x * (1 - obs) + x0 * obs, indicator], axis=2)
+
+        # -> NHWC, compute dtype.
+        h = x_in.transpose(0, 1, 3, 4, 2).reshape(B * T, Hs, Ws, C + 1).astype(self.dtype)
+
+        # Timestep embedding MLP (per frame).
+        ted = self.model_channels * 4
+        emb = timestep_embedding(timesteps.reshape(B * T), self.model_channels)
+        emb = nn.Dense(ted, dtype=self.dtype, name="time_embed_1")(emb.astype(self.dtype))
+        emb = nn.Dense(ted, dtype=self.dtype, name="time_embed_2")(nn.silu(emb))
+        temb_bt = emb.reshape(B, T, ted)  # for RPENet
+
+        res_block_cls = nn.remat(ResBlock) if self.use_remat else ResBlock
+        attn_block_cls = nn.remat(FactorizedAttentionBlock) if self.use_remat else FactorizedAttentionBlock
+
+        def res_block(name, out_channels):
+            return res_block_cls(
+                out_channels=out_channels, dropout=self.dropout,
+                use_scale_shift_norm=self.use_scale_shift_norm,
+                dtype=self.dtype, train=train, name=name,
+            )
+
+        attns = {"temporal": [], "spatial": []} if return_attn_weights else None
+
+        def apply_attn(h, heads, name):
+            h, a = attn_block_cls(
+                num_heads=heads, use_rpe_net=self.use_rpe_net, T=T,
+                return_attn=return_attn_weights, dtype=self.dtype, name=name,
+            )(h, temb_bt, frame_indices, attn_mask)
+            if return_attn_weights and a is not None:
+                attns["temporal"].append(a["temporal"])
+                attns["spatial"].append(a["spatial"])
+            return h
+
+        # --- Down path ---
+        ch = self.model_channels
+        h = nn.Conv(ch, (3, 3), padding="SAME", dtype=self.dtype, name="stem")(h)
+        hs = [h]
+        input_chans = [ch]
+        ds = 1
+        for level, mult in enumerate(self.channel_mult):
+            for i in range(self.num_res_blocks):
+                ch = mult * self.model_channels
+                h = res_block(f"down_{level}_{i}", ch)(h, emb)
+                if ds in self.attention_resolutions:
+                    h = apply_attn(h, self.num_heads, f"down_attn_{level}_{i}")
+                hs.append(h)
+                input_chans.append(ch)
+            if level != len(self.channel_mult) - 1:
+                h = Downsample(use_conv=self.conv_resample, dtype=self.dtype,
+                               name=f"downsample_{level}")(h)
+                hs.append(h)
+                input_chans.append(ch)
+                ds *= 2
+
+        # --- Middle ---
+        h = res_block("middle_res_1", ch)(h, emb)
+        h = apply_attn(h, self.num_heads, "middle_attn")
+        h = res_block("middle_res_2", ch)(h, emb)
+
+        # --- Up path ---
+        for level, mult in reversed(list(enumerate(self.channel_mult))):
+            for i in range(self.num_res_blocks + 1):
+                skip = hs.pop()
+                input_chans.pop()
+                ch = self.model_channels * mult
+                h = res_block(f"up_{level}_{i}", ch)(jnp.concatenate([h, skip], axis=-1), emb)
+                if ds in self.attention_resolutions:
+                    h = apply_attn(h, num_heads_up, f"up_attn_{level}_{i}")
+                if level and i == self.num_res_blocks:
+                    h = Upsample(use_conv=self.conv_resample, dtype=self.dtype,
+                                 name=f"upsample_{level}")(h)
+                    ds //= 2
+        assert not hs
+
+        # --- Output head (f32, like the reference's fp32 head) ---
+        h = h.astype(jnp.float32)
+        h = GroupNorm32(name="out_norm")(h)
+        h = nn.silu(h)
+        h = zero_init_conv(self.out_channels, dtype=jnp.float32, name="out_conv")(h)
+
+        out = h.reshape(B, T, Hs, Ws, self.out_channels).transpose(0, 1, 4, 2, 3)
+        return out, attns
