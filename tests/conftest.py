@@ -12,6 +12,12 @@ flags = os.environ.get("XLA_FLAGS", "")
 if "xla_force_host_platform_device_count" not in flags:
     os.environ["XLA_FLAGS"] = (flags + " --xla_force_host_platform_device_count=8").strip()
 
+import jax
+
+# XLA:CPU's DEFAULT matmul precision downcasts f32 matmuls (bf16 passes);
+# parity tests need true f32. TPU runs keep the fast default.
+jax.config.update("jax_default_matmul_precision", "highest")
+
 import sys
 
 import pytest
