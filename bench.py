@@ -1,0 +1,113 @@
+"""Benchmark: U-Net sampler throughput on the flagship CARLA pixel config.
+
+Prints ONE JSON line:
+  {"metric": "unet_frames_per_sec_per_chip", "value": N, "unit": "frames/s",
+   "vs_baseline": R, ...}
+
+Metric definition (BASELINE.md): frames processed per second per chip during
+ancestral sampling — B*K frames per model call, timed over a jitted
+`lax.scan` of reverse-diffusion steps (the real sampler hot loop, not a bare
+forward). 1000-step sampler wall-clock is derived and reported alongside.
+
+``vs_baseline``: the reference publishes no throughput numbers
+(SURVEY.md §6), so the baseline is an estimate of the reference's eager
+PyTorch sampler on A100: compiled per-call FLOPs (XLA cost analysis) divided
+by an assumed 35 TFLOP/s effective A100 throughput (TF32 eager U-Net with
+attention/groupnorm overheads). The BASELINE.json target is ≥5x that.
+"""
+
+import json
+import time
+
+import numpy as np
+
+A100_EFFECTIVE_FLOPS = 35e12  # assumed eager-torch effective throughput
+
+
+def main():
+    import jax
+    import jax.numpy as jnp
+
+    from lfvdm_tpu.config import create_model_and_diffusion
+
+    cfg = dict(image_size=128, in_channels=3, num_channels=128, num_res_blocks=1,
+               attention_resolutions="16,8", diffusion_steps=1000,
+               compute_dtype="bfloat16")
+    model, diffusion = create_model_and_diffusion(cfg)
+
+    B, K, C, H = 2, 20, 3, 128  # released-checkpoint training/sampling shape
+    rng = np.random.default_rng(0)
+    x0 = jnp.asarray(rng.standard_normal((B, K, C, H, H)), jnp.float32)
+    t = jnp.zeros((B,), jnp.int32)
+    fi = jnp.asarray(np.tile(np.arange(K)[None], (B, 1)), jnp.int32)
+    obs = jnp.zeros((B, K, 1, 1, 1), jnp.float32).at[:, : K // 2].set(1.0)
+    lat = 1.0 - obs
+
+    params = jax.jit(model.init)(jax.random.PRNGKey(0), x0, t, x0=x0,
+                                 frame_indices=fi, obs_mask=obs, latent_mask=lat)
+
+    def model_fn(x, ts, **kw):
+        return model.apply(params, x, ts, **kw)[0]
+
+    model_kwargs = dict(x0=x0, frame_indices=fi, obs_mask=obs, latent_mask=lat)
+
+    # per-model-call FLOPs for the baseline estimate
+    fwd = jax.jit(lambda x, ts: model_fn(x, ts, **model_kwargs))
+    lowered = fwd.lower(x0, t)
+    compiled = lowered.compile()
+    try:
+        flops_per_call = float(compiled.cost_analysis()["flops"])
+    except Exception:
+        flops_per_call = float("nan")
+
+    # timed sampler scan (real hot loop)
+    N_STEPS = 50
+
+    def sampler_chunk(noise, rng_key):
+        def step(carry, s):
+            img, key = carry
+            key, sub = jax.random.split(key)
+            t_b = jnp.full((B,), s, jnp.int32)
+            out = diffusion.p_sample(model_fn, img, t_b, sub, model_kwargs=model_kwargs)
+            return (out["sample"], key), None
+
+        steps = jnp.arange(N_STEPS - 1, -1, -1)
+        (img, _), _ = jax.lax.scan(step, (noise, rng_key), steps)
+        return img
+
+    run = jax.jit(sampler_chunk)
+    noise = jnp.asarray(rng.standard_normal((B, K, C, H, H)), jnp.float32)
+    key = jax.random.PRNGKey(1)
+    run(noise, key).block_until_ready()  # compile + warmup
+
+    t0 = time.perf_counter()
+    REPS = 3
+    for i in range(REPS):
+        out = run(noise, jax.random.fold_in(key, i))
+    out.block_until_ready()
+    elapsed = time.perf_counter() - t0
+
+    calls = N_STEPS * REPS
+    sec_per_call = elapsed / calls
+    frames_per_sec = B * K / sec_per_call
+    sampler_1000_wallclock = sec_per_call * 1000
+
+    baseline_sec_per_call = flops_per_call / A100_EFFECTIVE_FLOPS
+    baseline_frames_per_sec = B * K / baseline_sec_per_call if flops_per_call > 0 else float("nan")
+    vs_baseline = frames_per_sec / baseline_frames_per_sec if baseline_frames_per_sec > 0 else 0.0
+
+    print(json.dumps({
+        "metric": "unet_frames_per_sec_per_chip",
+        "value": round(frames_per_sec, 2),
+        "unit": "frames/s",
+        "vs_baseline": round(vs_baseline, 3),
+        "sampler_1000step_wallclock_s": round(sampler_1000_wallclock, 2),
+        "sec_per_model_call": round(sec_per_call, 5),
+        "flops_per_call": flops_per_call,
+        "device": str(jax.devices()[0]),
+        "config": "carla pixel 128px ch128 res1 K20 B2 bf16",
+    }))
+
+
+if __name__ == "__main__":
+    main()

@@ -1,0 +1,258 @@
+"""Video dataset registry and loaders (host side, numpy).
+
+Capability parity: /root/reference/improved_diffusion/video_datasets.py —
+registry dicts, one-file-per-video datasets (CARLA .pt, MineRL/GQN-mazes
+.npy), DATA_ROOT scratch caching behind a file lock, per-process sharding,
+train (random subsequence) vs test (deterministic prefix) modes, infinite
+shuffled loader.
+
+TPU-first changes:
+  * Sharding by ``jax.process_index()`` instead of MPI rank.
+  * Pure-numpy items (torch only to deserialize .pt files).
+  * The infinite loader prefetches batches on a background thread so host IO
+    overlaps device compute (the DataLoader-worker role).
+  * ``SyntheticVideoDataset`` for tests and benchmarks.
+"""
+
+from __future__ import annotations
+
+import os
+import shutil
+import threading
+from pathlib import Path
+from queue import Queue
+from typing import Optional
+
+import numpy as np
+
+from ..utils.locks import Protect
+
+video_data_paths_dict = {
+    "minerl": "datasets/minerl_navigate-torch",
+    "mazes_cwvae": "datasets/gqn_mazes-torch",
+    "carla_no_traffic": "datasets/carla/no-traffic",
+    "carla_no_traffic_2x": "datasets/carla/no-traffic",
+    "carla_no_traffic_2x_encoded": "datasets/carla/no-traffic-encoded",
+}
+
+default_T_dict = {
+    "minerl": 500,
+    "mazes_cwvae": 300,
+    "carla_no_traffic": 1000,
+    "carla_no_traffic_2x": 1000,
+    "carla_no_traffic_2x_encoded": 1000,
+}
+
+default_image_size_dict = {
+    "minerl": 64,
+    "mazes_cwvae": 64,
+    "carla_no_traffic": 128,
+    "carla_no_traffic_2x": 256,
+    "carla_no_traffic_2x_encoded": 32,
+}
+
+data_encoding_stats_dict = {
+    "carla_no_traffic_2x_encoded": "datasets/carla/no-traffic-encoded/encoded_train_norm_stats.pt",
+}
+
+
+class BaseVideoDataset:
+    """One file per video; optional DATA_ROOT scratch-dir caching."""
+
+    def __init__(self, path, T: Optional[int]):
+        self.T = T
+        self.path = Path(path)
+        self.is_test = False
+
+    def __len__(self):
+        return len(list(self.get_src_path(self.path).iterdir()))
+
+    def __getitem__(self, idx) -> np.ndarray:
+        path = self.getitem_path(idx)
+        self.cache_file(path)
+        video = self.postprocess_video(self.loaditem(path))
+        return self.get_video_subsequence(video, self.T)
+
+    def getitem_path(self, idx) -> Path:
+        raise NotImplementedError
+
+    def loaditem(self, path):
+        raise NotImplementedError
+
+    def postprocess_video(self, video) -> np.ndarray:
+        raise NotImplementedError
+
+    def cache_file(self, path: Path):
+        if not path.exists():
+            path.parent.mkdir(parents=True, exist_ok=True)
+            src_path = self.get_src_path(path)
+            with Protect(path):
+                shutil.copyfile(str(src_path), str(path))
+
+    @staticmethod
+    def get_src_path(path: Path) -> Path:
+        if os.environ.get("DATA_ROOT"):
+            data_root = Path(os.environ["DATA_ROOT"])
+            if data_root in path.parents:
+                return Path(*path.parts[len(data_root.parts):])
+        return path
+
+    def set_test(self):
+        self.is_test = True
+
+    def get_video_subsequence(self, video: np.ndarray, T: Optional[int]) -> np.ndarray:
+        if T is None or T >= len(video):
+            return video
+        start = 0 if self.is_test else np.random.randint(len(video) - T + 1)
+        return video[start:start + T]
+
+
+class CarlaDataset(BaseVideoDataset):
+    """CARLA Town01: per-video .pt uint8 (T, H, W, C) -> float (T, C, H, W) in [-1, 1]."""
+
+    def __init__(self, train, path, shard, num_shards, T):
+        super().__init__(path=path, T=T)
+        self.split_path = self.path / f"video_{'train' if train else 'test'}.csv"
+        self.cache_file(self.split_path)
+        with open(self.split_path) as f:
+            self.fnames = [line.rstrip("\n").split("/")[-1] for line in f if ".pt" in line]
+        self.fnames = self.fnames[shard::num_shards]
+
+    def __len__(self):
+        return len(self.fnames)
+
+    def getitem_path(self, idx):
+        return self.path / self.fnames[idx]
+
+    def loaditem(self, path):
+        import torch
+
+        return torch.load(path, map_location="cpu", weights_only=False).numpy()
+
+    def postprocess_video(self, video):
+        return -1 + 2 * (video.transpose(0, 3, 1, 2).astype(np.float32) / 255)
+
+
+class Carla2xDataset(CarlaDataset):
+    """2x nearest-upsampled CARLA, or its pre-encoded SVD-VAE latents."""
+
+    def __init__(self, train, path, shard, num_shards, T, encoded=False):
+        super().__init__(train, path, shard, num_shards, T)
+        self.encoded = encoded
+        if encoded:
+            self.fnames = ["encoded_" + f for f in self.fnames]
+
+    def postprocess_video(self, video):
+        if self.encoded:
+            return np.asarray(video, dtype=np.float32)
+        video = -1 + 2 * (video.transpose(0, 3, 1, 2).astype(np.float32) / 255)
+        return np.repeat(np.repeat(video, 2, axis=2), 2, axis=3)  # nearest 2x
+
+
+class NpyPerVideoDataset(BaseVideoDataset):
+    """{idx}.npy uint8 (T, H, W, C) videos (MineRL, GQN-mazes)."""
+
+    def getitem_path(self, idx):
+        return self.path / f"{idx}.npy"
+
+    def loaditem(self, path):
+        return np.load(path)
+
+    def postprocess_video(self, video):
+        video = video.astype(np.float32) / 255.0
+        return 2 * video.transpose(0, 3, 1, 2) - 1
+
+
+class SyntheticVideoDataset:
+    """Deterministic procedural videos (moving gradients) for tests/benches."""
+
+    def __init__(self, num_videos=16, T=100, C=3, H=64, W=64, seed=0):
+        self.num_videos, self.T, self.C, self.H, self.W = num_videos, T, C, H, W
+        self.seed = seed
+        self.is_test = False
+
+    def __len__(self):
+        return self.num_videos
+
+    def set_test(self):
+        self.is_test = True
+
+    def __getitem__(self, idx) -> np.ndarray:
+        rng = np.random.default_rng(self.seed + idx)
+        phase = rng.random((self.C, 1, 1, 1)) * 2 * np.pi
+        speed = 0.5 + rng.random((self.C, 1, 1, 1))
+        t = np.arange(self.T).reshape(1, -1, 1, 1)
+        y = np.linspace(0, 2 * np.pi, self.H).reshape(1, 1, -1, 1)
+        x = np.linspace(0, 2 * np.pi, self.W).reshape(1, 1, 1, -1)
+        vid = np.sin(x + y + speed * t * 0.2 + phase).astype(np.float32)
+        return vid.transpose(1, 0, 2, 3)  # (T, C, H, W) in [-1, 1]
+
+
+def _build_dataset(dataset_name, data_path, T, train, shard, num_shards):
+    if dataset_name == "minerl":
+        assert shard == 0 and num_shards == 1, "minerl is not shardable (single dir)"
+        return NpyPerVideoDataset(os.path.join(data_path, "train" if train else "test"), T=T)
+    if dataset_name == "mazes_cwvae":
+        assert shard == 0 and num_shards == 1, "mazes is not shardable (single dir)"
+        return NpyPerVideoDataset(os.path.join(data_path, "train" if train else "test"), T=T)
+    if dataset_name == "carla_no_traffic":
+        return CarlaDataset(train=train, path=data_path, shard=shard, num_shards=num_shards, T=T)
+    if dataset_name == "carla_no_traffic_2x":
+        return Carla2xDataset(train=train, path=data_path, shard=shard, num_shards=num_shards, T=T)
+    if dataset_name == "carla_no_traffic_2x_encoded":
+        return Carla2xDataset(train=train, path=data_path, shard=shard, num_shards=num_shards,
+                              T=T, encoded=True)
+    if dataset_name == "synthetic":
+        ds = SyntheticVideoDataset(T=T or 100)
+        if not train:
+            ds.set_test()
+        return ds
+    raise ValueError(f"unknown dataset: {dataset_name}")
+
+
+def _data_root_path(rel_path: str) -> str:
+    root = os.environ.get("DATA_ROOT", "")
+    return os.path.join(root, rel_path) if root else rel_path
+
+
+def load_data(dataset_name, batch_size, T=None, deterministic=False,
+              num_prefetch=2, return_dataset=False, seed=0):
+    """Infinite batch generator, sharded across JAX processes.
+
+    Yields float32 (B, T, C, H, W) numpy batches forever (drop_last
+    semantics). Prefetches on a background thread.
+    """
+    import jax
+
+    T = default_T_dict.get(dataset_name) if T is None else T
+    data_path = _data_root_path(video_data_paths_dict.get(dataset_name, ""))
+    shardable = dataset_name.startswith("carla") or dataset_name == "synthetic"
+    shard = jax.process_index() if shardable else 0
+    num_shards = jax.process_count() if shardable else 1
+    dataset = _build_dataset(dataset_name, data_path, T, True, shard, num_shards)
+    if return_dataset:
+        return dataset
+
+    def producer(q: Queue):
+        rng = np.random.default_rng(seed + shard)
+        order = np.arange(len(dataset))
+        while True:
+            if not deterministic:
+                rng.shuffle(order)
+            for i in range(0, len(order) - batch_size + 1, batch_size):
+                batch = np.stack([dataset[j] for j in order[i:i + batch_size]])
+                q.put(batch)
+
+    q: Queue = Queue(maxsize=num_prefetch)
+    thread = threading.Thread(target=producer, args=(q,), daemon=True)
+    thread.start()
+    while True:
+        yield q.get()
+
+
+def get_test_dataset(dataset_name, T=None):
+    T = default_T_dict.get(dataset_name) if T is None else T
+    data_path = _data_root_path(video_data_paths_dict.get(dataset_name, ""))
+    dataset = _build_dataset(dataset_name, data_path, T, False, 0, 1)
+    dataset.set_test()
+    return dataset

@@ -1,0 +1,48 @@
+"""Device mesh construction for dp/fsdp training over ICI (+DCN).
+
+Replaces the reference's MPI + NCCL stack (dist_util.py, SURVEY.md §2.7):
+rendezvous is `jax.distributed.initialize`, collectives are emitted by XLA
+from sharding annotations, and rank identity is `jax.process_index()`.
+"""
+
+from __future__ import annotations
+
+from typing import Optional, Sequence, Tuple
+
+import jax
+import numpy as np
+from jax.sharding import Mesh
+
+DP_AXIS = "dp"
+FSDP_AXIS = "fsdp"
+
+
+def setup_distributed():
+    """Initialize multi-process JAX if launched under a multi-host runtime.
+
+    Safe to call unconditionally: no-ops in single-process runs (the common
+    single-chip / single-host case).
+    """
+    import os
+
+    if "JAX_COORDINATOR_ADDRESS" in os.environ or "COORDINATOR_ADDRESS" in os.environ:
+        jax.distributed.initialize()
+
+
+def best_mesh_shape(n_devices: int, fsdp: int = 1) -> Tuple[int, int]:
+    """Split n_devices into (dp, fsdp). fsdp=1 -> pure data parallel."""
+    if fsdp <= 1:
+        return (n_devices, 1)
+    assert n_devices % fsdp == 0, f"{n_devices} devices not divisible by fsdp={fsdp}"
+    return (n_devices // fsdp, fsdp)
+
+
+def make_mesh(devices: Optional[Sequence] = None, fsdp: int = 1) -> Mesh:
+    """Build a (dp, fsdp) mesh over the given (default: all) devices.
+
+    The fsdp axis is innermost so its collectives ride the fastest ICI links.
+    """
+    devices = list(devices if devices is not None else jax.devices())
+    dp, fs = best_mesh_shape(len(devices), fsdp)
+    arr = np.array(devices).reshape(dp, fs)
+    return Mesh(arr, (DP_AXIS, FSDP_AXIS))

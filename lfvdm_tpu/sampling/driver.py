@@ -1,0 +1,149 @@
+"""Jitted long-video sampler driver.
+
+Capability parity: /root/reference/scripts/video_sample.py:28-85
+(`sample_video`): iterate a sampling scheme, gather the conditioning frames,
+run the diffusion sampler over a K-frame window, scatter generated frames
+back into the video buffer.
+
+TPU design:
+  * The inner 1000-step reverse trajectory is ONE compiled ``lax.scan``
+    (diffusion.p_sample_loop) — the dominant wall-clock cost never leaves
+    the device.
+  * Compiled samplers are memoized per call shape (B, K). Schemes emit
+    full-K windows for almost every call, so a run compiles a handful of
+    shapes at most. Exact shapes (not padding) are used because attention
+    pre-norm GroupNorm statistics include every frame in the window —
+    padding would perturb real frames (see tests/test_rpe_attention.py).
+  * Sampling happens in diffusion space; ``codec.decode`` maps the fully
+    assembled video to pixels once at the end (the reference's per-call
+    decode crashes for latent shapes; kept out of the loop deliberately).
+"""
+
+from __future__ import annotations
+
+from typing import Dict, Optional, Tuple
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+
+from ..diffusion.gaussian import GaussianDiffusion
+from .schemes import sampling_schemes
+
+
+class VideoSampler:
+    def __init__(
+        self,
+        model,
+        diffusion: GaussianDiffusion,
+        params,
+        *,
+        clip_denoised: bool = True,
+        use_ddim: bool = False,
+        eta: float = 0.0,
+    ):
+        self.model = model
+        self.diffusion = diffusion
+        self.params = params
+        self.clip_denoised = clip_denoised
+        self.use_ddim = use_ddim
+        self.eta = eta
+        self._compiled: Dict[Tuple[int, ...], callable] = {}
+
+    def _sampler_for(self, shape: Tuple[int, ...]):
+        if shape in self._compiled:
+            return self._compiled[shape]
+
+        def fn(params, x0, frame_indices, obs_mask, latent_mask, rng):
+            def model_fn(x, ts, **kw):
+                out, _ = self.model.apply(params, x, ts, **kw)
+                return out
+
+            model_kwargs = dict(x0=x0, frame_indices=frame_indices,
+                                obs_mask=obs_mask, latent_mask=latent_mask)
+            if self.use_ddim:
+                return self.diffusion.ddim_sample_loop(
+                    model_fn, shape, rng, clip_denoised=self.clip_denoised,
+                    model_kwargs=model_kwargs, eta=self.eta,
+                )
+            return self.diffusion.p_sample_loop(
+                model_fn, shape, rng, clip_denoised=self.clip_denoised,
+                model_kwargs=model_kwargs,
+            )
+
+        compiled = jax.jit(fn)
+        self._compiled[shape] = compiled
+        return compiled
+
+    def sample_window(self, x0, frame_indices, obs_mask, latent_mask, rng):
+        """Run the reverse process for one K-frame window (static shapes)."""
+        shape = tuple(x0.shape)
+        fn = self._sampler_for(shape)
+        return fn(self.params, jnp.asarray(x0), jnp.asarray(frame_indices),
+                  jnp.asarray(obs_mask), jnp.asarray(latent_mask), rng)
+
+    def sample_video(
+        self,
+        batch: np.ndarray,
+        *,
+        scheme_name: str,
+        n_obs: int,
+        max_frames: int,
+        step_size: int,
+        rng,
+        optimal_schedule: Optional[dict] = None,
+        embedder=None,
+        just_get_indices: bool = False,
+        verbose: bool = False,
+    ):
+        """Generate a full video given its first ``n_obs`` frames.
+
+        ``batch``: (B, T, C, H, W) ground-truth videos (only the first n_obs
+        frames are consumed unless ``just_get_indices``). Returns
+        (samples (B, T, C, H, W) numpy, indices_used list).
+        """
+        B, T, C, H, W = batch.shape
+        samples = np.zeros_like(batch)
+        samples[:, :n_obs] = batch[:, :n_obs]
+
+        kwargs = dict(video_length=T, num_obs=n_obs, max_frames=max_frames,
+                      step_size=step_size, optimal_schedule=optimal_schedule)
+        if scheme_name.startswith("adaptive"):
+            kwargs["embedder"] = embedder
+        scheme = iter(sampling_schemes[scheme_name](**kwargs))
+
+        indices_used = []
+        while True:
+            scheme.set_videos(samples)
+            try:
+                obs_idx, latent_idx = next(scheme)
+            except StopIteration:
+                break
+            if not isinstance(obs_idx[0], (list, np.ndarray)):
+                obs_idx = [list(obs_idx)] * B
+                latent_idx = [list(latent_idx)] * B
+            if verbose:
+                print(f"conditioning on {sorted(obs_idx[0])}, "
+                      f"generating {sorted(latent_idx[0])}")
+
+            frame_indices = np.concatenate(
+                [np.asarray(obs_idx, np.int32), np.asarray(latent_idx, np.int32)], axis=1
+            )  # (B, K_call)
+            K = frame_indices.shape[1]
+            x0 = np.stack([samples[b, frame_indices[b]] for b in range(B)])
+            obs_mask = np.zeros((B, K, 1, 1, 1), np.float32)
+            obs_mask[:, : len(obs_idx[0])] = 1.0
+            latent_mask = 1.0 - obs_mask
+
+            if just_get_indices:
+                local = np.stack([batch[b, frame_indices[b]] for b in range(B)])
+            else:
+                rng, key = jax.random.split(rng)
+                local = np.asarray(
+                    self.sample_window(x0, frame_indices, obs_mask, latent_mask, key)
+                )
+            n_latent = len(latent_idx[0])
+            for b in range(B):
+                samples[b, latent_idx[b]] = local[b, -n_latent:]
+            indices_used.append((obs_idx, latent_idx))
+        return samples, indices_used

@@ -1,0 +1,68 @@
+"""Checkpoint save/resume (orbax) with embedded config.
+
+Capability parity: /root/reference/improved_diffusion/train_util.py:373-420,
+486-527 — each checkpoint stores {params, per-rate EMA params, optimizer
+state, step, full config}, resume discovers the latest step in a run dir,
+and evaluation can reconstruct the model from a checkpoint path alone
+(video_sample.py:205-213).
+
+Layout: <dir>/<step>/{state...} via orbax; <dir>/config.json holds the run
+config. Orbax handles multi-host IO natively, replacing the reference's
+MPI byte-broadcast of checkpoint files (dist_util.py:53-63).
+"""
+
+from __future__ import annotations
+
+import json
+import os
+from typing import Any, Dict, Optional
+
+import jax
+import orbax.checkpoint as ocp
+
+
+def save_checkpoint(ckpt_dir: str, step: int, state: Dict[str, Any],
+                    config: Optional[Dict] = None):
+    """Save a training-state pytree at <ckpt_dir>/<step>; embed config JSON."""
+    ckpt_dir = os.path.abspath(ckpt_dir)
+    os.makedirs(ckpt_dir, exist_ok=True)
+    if config is not None and jax.process_index() == 0:
+        cfg_path = os.path.join(ckpt_dir, "config.json")
+        if not os.path.exists(cfg_path):
+            with open(cfg_path, "w") as f:
+                json.dump({k: v for k, v in config.items()
+                           if isinstance(v, (str, int, float, bool, list, tuple, type(None)))},
+                          f, indent=2)
+    with ocp.StandardCheckpointer() as ckptr:
+        ckptr.save(os.path.join(ckpt_dir, str(step)), state, force=True)
+
+
+def find_latest_step(ckpt_dir: str) -> Optional[int]:
+    """Max-step discovery, the resume-by-latest rule (train_util.py:508-517)."""
+    if not os.path.isdir(ckpt_dir):
+        return None
+    steps = [int(d) for d in os.listdir(ckpt_dir) if d.isdigit()]
+    return max(steps) if steps else None
+
+
+def load_checkpoint(ckpt_dir: str, abstract_state, step: Optional[int] = None):
+    """Restore (state, step, config). ``abstract_state`` gives the pytree
+    structure/shapes (e.g. jax.eval_shape of the init fn)."""
+    ckpt_dir = os.path.abspath(ckpt_dir)
+    if step is None:
+        step = find_latest_step(ckpt_dir)
+        if step is None:
+            raise FileNotFoundError(f"no checkpoints under {ckpt_dir}")
+    with ocp.StandardCheckpointer() as ckptr:
+        state = ckptr.restore(os.path.join(ckpt_dir, str(step)), abstract_state)
+    config = {}
+    cfg_path = os.path.join(ckpt_dir, "config.json")
+    if os.path.exists(cfg_path):
+        with open(cfg_path) as f:
+            config = json.load(f)
+    return state, step, config
+
+
+def load_config(ckpt_dir: str) -> Dict:
+    with open(os.path.join(os.path.abspath(ckpt_dir), "config.json")) as f:
+        return json.load(f)

@@ -1,0 +1,331 @@
+"""Training runtime: one fully-jitted train step + the host driver loop.
+
+Capability parity: /root/reference/improved_diffusion/train_util.py:35-475
+(TrainLoop), re-designed for TPU:
+
+  * The whole step — q_sample, U-Net fwd/bwd, masked loss, AdamW, LR anneal,
+    multi-rate EMA, nonfinite-skip — is ONE compiled function; gradients
+    all-reduce over the dp mesh axis via sharding annotations (XLA emits the
+    ICI collectives; no DDP/NCCL).
+  * bf16 torso compute with f32 params replaces the reference's fp16
+    loss-scale machinery (fp16_util.py); the NaN-grad skip-step behavior
+    (train_util.py:331-334) is preserved as a global-finite check.
+  * Params may be FSDP-sharded over the second mesh axis (parallel/sharding).
+  * Host side keeps the reference's cadence: mask sampling, timestep
+    importance sampling, log/save/sample intervals, quartile loss KVs,
+    DIFFUSION_TRAINING_TEST early-exit hook.
+"""
+
+from __future__ import annotations
+
+import os
+import time
+from functools import partial
+from typing import Any, Callable, Dict, Optional
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+import optax
+
+from ..diffusion.gaussian import GaussianDiffusion
+from ..diffusion.resample import LossAwareSampler, ScheduleSampler, UniformSampler
+from ..parallel.mesh import make_mesh
+from ..parallel.sharding import data_sharding, fsdp_param_sharding, replicated, shard_batch
+from ..utils.logger import logger
+from . import checkpoint as ckpt_lib
+from .masks import sample_training_batch
+
+
+def global_norm(tree) -> jnp.ndarray:
+    return jnp.sqrt(sum(jnp.sum(jnp.square(x)) for x in jax.tree.leaves(tree)))
+
+
+def make_optimizer(lr: float, weight_decay: float, lr_anneal_steps: int = 0):
+    """AdamW with the reference's linear LR decay (train_util.py:359-365)."""
+    if lr_anneal_steps:
+        schedule = optax.linear_schedule(lr, 0.0, lr_anneal_steps)
+    else:
+        schedule = lr
+    return optax.adamw(schedule, b1=0.9, b2=0.999, eps=1e-8, weight_decay=weight_decay)
+
+
+def init_train_state(params, tx, ema_rates) -> Dict[str, Any]:
+    """State pytree: params, optimizer state, one EMA copy per rate, step."""
+    return {
+        "params": params,
+        "opt_state": tx.init(params),
+        "ema": {str(r): jax.tree.map(jnp.copy, params) for r in ema_rates},
+        "step": jnp.zeros((), jnp.int32),
+    }
+
+
+def make_train_step(
+    model,
+    diffusion: GaussianDiffusion,
+    tx,
+    ema_rates,
+    *,
+    pad_with_random_frames: bool = True,
+    dropout: float = 0.0,
+) -> Callable:
+    """Build the pure train-step function (jit it with shardings applied)."""
+
+    def train_step(state, batch, t, weights, rng):
+        x0 = batch["x0"]
+        model_kwargs = dict(
+            x0=x0,
+            frame_indices=batch["frame_indices"],
+            obs_mask=batch["obs_mask"],
+            latent_mask=batch["latent_mask"],
+        )
+        # Loss covers padding frames too when padding with random frames
+        # (train_util.py:305): latent_mask_for_loss = 1 - obs_mask.
+        loss_mask = (1.0 - batch["obs_mask"]) if pad_with_random_frames else batch["latent_mask"]
+        rng, noise_key, drop_key = jax.random.split(rng, 3)
+
+        def loss_fn(params):
+            def model_fn(x, ts, **kw):
+                rngs = {"dropout": drop_key} if dropout > 0 else None
+                out, _ = model.apply(params, x, ts, train=True, rngs=rngs, **kw)
+                return out
+
+            terms = diffusion.training_losses(
+                model_fn, x0, t, noise_key, model_kwargs=model_kwargs,
+                latent_mask=loss_mask, eval_mask=batch["latent_mask"],
+            )
+            loss = jnp.mean(terms["loss"] * weights)
+            return loss, terms
+
+        (loss, terms), grads = jax.value_and_grad(loss_fn, has_aux=True)(state["params"])
+
+        grad_norm = global_norm(grads)
+        finite = jnp.isfinite(grad_norm)
+        # Zero non-finite grads so Adam moments stay clean on skipped steps
+        # (parity with the reference's skip-step, train_util.py:331-334).
+        safe_grads = jax.tree.map(lambda g: jnp.where(finite, g, jnp.zeros_like(g)), grads)
+        updates, new_opt_state = tx.update(safe_grads, state["opt_state"], state["params"])
+        new_params = optax.apply_updates(state["params"], updates)
+
+        def select(new, old):
+            return jax.tree.map(lambda n, o: jnp.where(finite, n, o), new, old)
+
+        new_params = select(new_params, state["params"])
+        new_opt_state = select(new_opt_state, state["opt_state"])
+        new_ema = {
+            rate: select(
+                jax.tree.map(lambda e, p, r=float(rate): e * r + p * (1 - r),
+                             state["ema"][rate], new_params),
+                state["ema"][rate],
+            )
+            for rate in state["ema"]
+        }
+        new_state = {
+            "params": new_params,
+            "opt_state": new_opt_state,
+            "ema": new_ema,
+            "step": state["step"] + 1,
+        }
+        metrics = {
+            "loss": terms["loss"],
+            "grad_norm": grad_norm,
+            "skipped_nonfinite": (~finite).astype(jnp.float32),
+            "weighted_loss": loss,
+        }
+        for k in ("mse", "vb", "eval-mse"):
+            if k in terms:
+                metrics[k] = terms[k]
+        return new_state, metrics
+
+    return train_step
+
+
+def log_loss_dict(diffusion, ts, losses: Dict[str, np.ndarray], weights: np.ndarray):
+    """Mean + per-quartile KV logging (train_util.py:530-536)."""
+    for key, values in losses.items():
+        values = np.asarray(values) * weights if np.asarray(values).ndim else values
+        logger.logkv_mean(key, float(np.mean(values)))
+        for sub_t, sub_loss in zip(np.asarray(ts), np.asarray(values).reshape(-1)):
+            quartile = int(4 * sub_t / diffusion.num_timesteps)
+            logger.logkv_mean(f"{key}_q{quartile}", float(sub_loss))
+
+
+class TrainLoop:
+    """Host driver: data -> masks -> device step; logging/ckpt/vis cadence."""
+
+    def __init__(
+        self,
+        *,
+        model,
+        diffusion: GaussianDiffusion,
+        data,
+        codec=None,
+        batch_size: int,
+        max_frames: int,
+        lr: float,
+        ema_rate="0.9999",
+        log_interval: int = 10,
+        save_interval: int = 50_000,
+        sample_interval: Optional[int] = None,
+        lr_anneal_steps: int = 0,
+        weight_decay: float = 0.0,
+        pad_with_random_frames: bool = True,
+        schedule_sampler: Optional[ScheduleSampler] = None,
+        checkpoint_dir: str = "checkpoints/run",
+        resume: bool = False,
+        config: Optional[Dict] = None,
+        mesh=None,
+        fsdp: int = 1,
+        seed: int = 0,
+        sample_fn: Optional[Callable] = None,
+    ):
+        self.model = model
+        self.diffusion = diffusion
+        self.data = data
+        self.codec = codec
+        self.batch_size = batch_size
+        self.max_frames = max_frames
+        self.log_interval = log_interval
+        self.save_interval = save_interval
+        self.sample_interval = sample_interval
+        self.lr_anneal_steps = lr_anneal_steps
+        self.pad_with_random_frames = pad_with_random_frames
+        self.schedule_sampler = schedule_sampler or UniformSampler(diffusion)
+        self.checkpoint_dir = checkpoint_dir
+        self.config = config or {}
+        self.sample_fn = sample_fn
+        self.ema_rates = (
+            [ema_rate] if isinstance(ema_rate, float)
+            else [float(x) for x in str(ema_rate).split(",")]
+        )
+
+        self.mesh = mesh if mesh is not None else make_mesh(fsdp=fsdp)
+        self.host_rng = np.random.default_rng(seed + jax.process_index())
+        self.rng = jax.random.PRNGKey(seed)
+
+        # --- build and place state ---
+        batch0 = self._next_batch()
+        example = self._prepare(batch0, batch0)
+        init_rng, self.rng = jax.random.split(self.rng)
+        params = model.init(
+            init_rng, example["x0"], jnp.zeros((batch_size,), jnp.int32),
+            x0=example["x0"], frame_indices=example["frame_indices"],
+            obs_mask=example["obs_mask"], latent_mask=example["latent_mask"],
+        )
+        self.tx = make_optimizer(lr, weight_decay, lr_anneal_steps)
+
+        # Place params per the FSDP rule; Adam moments and EMA copies inherit
+        # the same shardings through XLA's sharding propagation.
+        params = jax.device_put(params, fsdp_param_sharding(self.mesh, params))
+        self.state = jax.jit(partial(init_train_state, tx=self.tx, ema_rates=self.ema_rates))(
+            params
+        )
+
+        self.step = 0
+        if resume:
+            latest = ckpt_lib.find_latest_step(checkpoint_dir)
+            if latest is not None:
+                abstract = jax.tree.map(
+                    lambda x: jax.ShapeDtypeStruct(x.shape, x.dtype), self.state
+                )
+                self.state, self.step, _ = ckpt_lib.load_checkpoint(
+                    checkpoint_dir, abstract, latest
+                )
+                print(f"resumed from step {self.step}")
+
+        step_fn = make_train_step(
+            model, diffusion, self.tx, self.ema_rates,
+            pad_with_random_frames=pad_with_random_frames,
+            dropout=getattr(model, "dropout", 0.0),
+        )
+        # Input shardings follow argument placement (state on the mesh, batch
+        # data-sharded by shard_batch); jit only pins the donation.
+        self.train_step = jax.jit(step_fn, donate_argnums=(0,))
+        n_params = sum(p.size for p in jax.tree.leaves(params))
+        logger.logkv("num_parameters", n_params, distributed=False)
+
+    # ---- host-side plumbing ----
+
+    def _next_batch(self) -> np.ndarray:
+        return np.asarray(next(self.data))
+
+    def _prepare(self, batch1, batch2) -> Dict[str, np.ndarray]:
+        x0, fi, obs, lat = sample_training_batch(
+            self.host_rng, batch1, self.max_frames,
+            batch2=batch2 if self.pad_with_random_frames else None,
+            pad_with_random_frames=self.pad_with_random_frames,
+        )
+        if self.codec is not None:
+            x0 = np.asarray(self.codec.encode(x0))
+        return {
+            "x0": x0.astype(np.float32),
+            "frame_indices": fi,
+            "obs_mask": obs,
+            "latent_mask": lat,
+        }
+
+    # ---- main loop ----
+
+    def run_step(self):
+        t0 = time.time()
+        batch1 = self._next_batch()
+        batch2 = self._next_batch() if self.pad_with_random_frames else batch1
+        batch = self._prepare(batch1, batch2)
+        t_np, w_np = self.schedule_sampler.sample(batch["x0"].shape[0], self.host_rng)
+        self.rng, step_key = jax.random.split(self.rng)
+        sharded = shard_batch(self.mesh, batch)
+        t_dev = jax.device_put(t_np, data_sharding(self.mesh))
+        w_dev = jax.device_put(w_np, data_sharding(self.mesh))
+        self.state, metrics = self.train_step(self.state, sharded, t_dev, w_dev, step_key)
+
+        if isinstance(self.schedule_sampler, LossAwareSampler):
+            self.schedule_sampler.update_with_local_losses(t_np, np.asarray(metrics["loss"]))
+
+        losses = {k: np.asarray(v) for k, v in metrics.items()
+                  if k in ("loss", "mse", "vb", "eval-mse")}
+        log_loss_dict(self.diffusion, t_np, losses, w_np)
+        logger.logkv_mean("grad_norm", float(metrics["grad_norm"]))
+        if float(metrics["skipped_nonfinite"]):
+            logger.logkv("skipped_nonfinite_step", self.step, distributed=False)
+            print(f"non-finite gradients at step {self.step}; step skipped")
+        logger.logkv("step", self.step)
+        logger.logkv("samples", (self.step + 1) * self.batch_size * jax.process_count())
+        logger.logkv("timing/step_time", time.time() - t0)
+
+    def run_loop(self, max_steps: Optional[int] = None):
+        last_sample_time = None
+        while (not self.lr_anneal_steps or self.step < self.lr_anneal_steps) and (
+            max_steps is None or self.step < max_steps
+        ):
+            self.run_step()
+            if self.step % self.log_interval == 0:
+                logger.dumpkvs()
+            if self.step % self.save_interval == 0:
+                self.save()
+            if os.environ.get("DIFFUSION_TRAINING_TEST", "") and self.step > 0:
+                return
+            if (
+                self.sample_fn is not None
+                and self.sample_interval is not None
+                and self.step != 0
+                and (self.step % self.sample_interval == 0 or self.step == 5)
+            ):
+                if last_sample_time is not None:
+                    logger.logkv("timing/time_between_samples", time.time() - last_sample_time)
+                t0 = time.time()
+                self.sample_fn(self)
+                logger.logkv("timing/sampling_time", time.time() - t0, distributed=False)
+                last_sample_time = time.time()
+            self.step += 1
+        if (self.step - 1) % self.save_interval != 0:
+            self.save()
+
+    def save(self):
+        ckpt_lib.save_checkpoint(
+            self.checkpoint_dir, self.step,
+            jax.tree.map(np.asarray, self.state), config=self.config,
+        )
+
+    @property
+    def ema_params(self):
+        return self.state["ema"]

@@ -1,0 +1,77 @@
+"""Video export helpers: observed-frame marking, gif/mp4 assembly.
+
+Capability parity: /root/reference/improved_diffusion/test_util.py:76-111
+(`mark_as_observed`, `tensor2gif`, `tensor2mp4`) and
+scripts/video_make_mp4.py's grid assembly.
+"""
+
+from __future__ import annotations
+
+import subprocess
+from pathlib import Path
+
+import numpy as np
+
+
+def mark_as_observed(images: np.ndarray, color=(255, 0, 0)):
+    """Draw a border of ``color`` in-place on (..., C, H, W) uint8 frames."""
+    for i, c in enumerate(color):
+        images[..., i, :, 1:2] = c
+        images[..., i, 1:2, :] = c
+        images[..., i, :, -2:-1] = c
+        images[..., i, -2:-1, :] = c
+
+
+def tensor2avi(tensor: np.ndarray, path, drange=(0, 255)):
+    import imageio
+
+    frames = _to_uint8_thwc(tensor, drange)
+    imageio.mimwrite(str(path), frames, fps=10)
+
+
+def tensor2gif(tensor: np.ndarray, path, drange=(0, 255), random_str=""):
+    from PIL import Image
+
+    frames = [Image.fromarray(f) for f in _to_uint8_thwc(tensor, drange)]
+    frames[0].save(str(path), save_all=True, append_images=frames[1:],
+                   duration=100, loop=0)
+
+
+def tensor2mp4(tensor: np.ndarray, path, drange=(0, 255), random_str="tmp"):
+    """Write an mp4 via ffmpeg (gif intermediate, test_util.py:99-111);
+    falls back to imageio when ffmpeg is unavailable."""
+    gif_path = Path(str(path)).with_suffix(f".{random_str}.gif")
+    tensor2gif(tensor, gif_path, drange=drange)
+    try:
+        subprocess.run(
+            ["ffmpeg", "-y", "-i", str(gif_path),
+             "-r", "10", "-movflags", "faststart", "-pix_fmt", "yuv420p",
+             "-vf", "scale=trunc(iw/2)*2:trunc(ih/2)*2", str(path)],
+            check=True, capture_output=True,
+        )
+    except (FileNotFoundError, subprocess.CalledProcessError):
+        import imageio
+
+        imageio.mimwrite(str(path), _to_uint8_thwc(tensor, drange), fps=10)
+    finally:
+        gif_path.unlink(missing_ok=True)
+
+
+def _to_uint8_thwc(tensor: np.ndarray, drange) -> np.ndarray:
+    """(T, C, H, W) any-range -> (T, H, W, C) uint8."""
+    t = np.asarray(tensor, np.float32)
+    lo, hi = drange
+    t = (t - lo) / (hi - lo) * 255.0
+    return t.clip(0, 255).astype(np.uint8).transpose(0, 2, 3, 1)
+
+
+def assemble_grid(gt: np.ndarray, samples: list, pad: int = 2) -> np.ndarray:
+    """Stack ground truth above sample rows: list of (T,C,H,W) -> (T,C,H',W)."""
+    rows = [gt] + list(samples)
+    T, C, H, W = rows[0].shape
+    padded = []
+    for r in rows:
+        p = np.zeros((T, C, H + pad, W), r.dtype)
+        p[:, :, :H] = r
+        padded.append(p)
+    return np.concatenate(padded, axis=2)

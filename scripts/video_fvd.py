@@ -1,0 +1,103 @@
+"""Compute FVD between sampled videos and the test set.
+
+Capability parity: /root/reference/scripts/video_fvd.py — pairs
+``sample_{idx:04d}-{seed}.npy`` files against the true test set, per-dataset
+feature batch sizes, zero-padded final batch, idempotent
+``fvd-{num_videos}-{sample_idx}.txt`` output.
+"""
+
+import argparse
+import json
+import os
+import sys
+
+sys.path.insert(0, os.path.join(os.path.dirname(__file__), ".."))
+
+from pathlib import Path
+
+import numpy as np
+
+from lfvdm_tpu.data.datasets import get_test_dataset
+from lfvdm_tpu.evals.fvd import FVD
+
+BATCH_SIZES = {"mazes_cwvae": 16, "minerl": 8, "carla_no_traffic": 4,
+               "carla_no_traffic_2x": 4, "carla_no_traffic_2x_encoded": 4,
+               "synthetic": 16}
+
+
+class SampleDataset:
+    """Reads sample_{idx:04d}-{seed}.npy uint8 (T, C, H, W) files."""
+
+    def __init__(self, samples_dir: Path, sample_idx: int, length: int):
+        self.dir = Path(samples_dir)
+        self.sample_idx = sample_idx
+        self.length = length
+
+    def __len__(self):
+        return self.length
+
+    def __getitem__(self, i) -> np.ndarray:
+        path = self.dir / f"sample_{i:04d}-{self.sample_idx}.npy"
+        return np.load(path)
+
+
+def to_uint8_thwc(video: np.ndarray, from_unit_range: bool) -> np.ndarray:
+    """(T, C, H, W) -> (T, H, W, C) uint8."""
+    if from_unit_range:  # test set videos are float in [-1, 1]
+        video = ((video + 1) / 2 * 255).clip(0, 255)
+    return np.asarray(video, np.uint8).transpose(0, 2, 3, 1)
+
+
+def compute_fvd(eval_dir: Path, dataset_name: str, num_videos: int, sample_idx: int,
+                T: int, i3d_weights=None) -> float:
+    batch_size = BATCH_SIZES.get(dataset_name, 8)
+    fvd = FVD(i3d_weights=i3d_weights, batch_size=batch_size)
+    samples = SampleDataset(eval_dir / "samples", sample_idx, num_videos)
+    test_set = get_test_dataset(dataset_name, T=T)
+
+    fake_feats, real_feats = [], []
+    for start in range(0, num_videos, batch_size):
+        idxs = list(range(start, min(start + batch_size, num_videos)))
+        fake = np.stack([to_uint8_thwc(samples[i], False)[:T] for i in idxs])
+        real = np.stack([to_uint8_thwc(np.asarray(test_set[i]), True)[:T] for i in idxs])
+        # zero-pad the final partial batch (video_fvd.py:44-55)
+        if len(idxs) < batch_size:
+            pad = batch_size - len(idxs)
+            fake = np.concatenate([fake, np.zeros((pad,) + fake.shape[1:], np.uint8)])
+            real = np.concatenate([real, np.zeros((pad,) + real.shape[1:], np.uint8)])
+        fake_feats.append(fvd.extract_features(fake)[:len(idxs)])
+        real_feats.append(fvd.extract_features(real)[:len(idxs)])
+    from lfvdm_tpu.evals.fvd import frechet_distance
+
+    return frechet_distance(np.concatenate(fake_feats), np.concatenate(real_feats))
+
+
+def main():
+    parser = argparse.ArgumentParser()
+    parser.add_argument("--eval_dir", required=True, type=str)
+    parser.add_argument("--num_videos", type=int, default=100)
+    parser.add_argument("--sample_idx", type=int, default=0)
+    parser.add_argument("--T", type=int, default=None)
+    parser.add_argument("--dataset", type=str, default=None)
+    parser.add_argument("--i3d_weights", type=str, default=None)
+    args = parser.parse_args()
+
+    eval_dir = Path(args.eval_dir)
+    out_path = eval_dir / f"fvd-{args.num_videos}-{args.sample_idx}.txt"
+    if out_path.exists():
+        print(f"{out_path} exists: FVD = {out_path.read_text().strip()}")
+        return
+
+    with open(eval_dir / "model_config.json") as f:
+        config = json.load(f)
+    dataset = args.dataset or config.get("dataset", "synthetic")
+    T = args.T or config.get("T")
+
+    score = compute_fvd(eval_dir, dataset, args.num_videos, args.sample_idx, T,
+                        i3d_weights=args.i3d_weights)
+    out_path.write_text(f"{score}\n")
+    print(f"FVD: {score} (saved to {out_path})")
+
+
+if __name__ == "__main__":
+    main()

@@ -1,0 +1,183 @@
+"""Sample long videos from a trained checkpoint with a flexible scheme.
+
+Capability parity: /root/reference/scripts/video_sample.py — loads config
+from the checkpoint (orbax run dir or converted reference .pt), iterates a
+sampling scheme, writes idempotent uint8 .npy sample files into the
+results-path layout, supports --just_visualise index-plan rendering.
+"""
+
+import argparse
+import json
+import os
+import sys
+
+sys.path.insert(0, os.path.join(os.path.dirname(__file__), ".."))
+
+from pathlib import Path
+
+import jax
+import numpy as np
+
+from lfvdm_tpu.config import create_model_and_diffusion, str2bool
+from lfvdm_tpu.data.datasets import get_test_dataset
+from lfvdm_tpu.sampling.driver import VideoSampler
+from lfvdm_tpu.sampling.schemes import sampling_schemes
+from lfvdm_tpu.training import checkpoint as ckpt_lib
+from lfvdm_tpu.utils.locks import Protect
+from lfvdm_tpu.utils.paths import get_eval_run_identifier, get_model_results_path
+
+
+def load_model_from_checkpoint(path: str, use_ddim: bool, timestep_respacing: str):
+    """Load params + config from an orbax run dir or a reference .pt file."""
+    if path.endswith(".pt"):
+        from lfvdm_tpu.utils.torch_convert import convert_reference_checkpoint
+
+        params, config = convert_reference_checkpoint(path)
+    else:
+        config = ckpt_lib.load_config(path)
+        model, _ = create_model_and_diffusion(config)
+        # restore just to read params: build abstract from a fresh init
+        raise SystemExit(
+            "orbax checkpoint sampling requires the training state layout; "
+            "use scripts/export_params.py to export params, or pass a "
+            "converted reference .pt checkpoint."
+        )
+    config = dict(config)
+    config.update({"use_ddim": use_ddim, "timestep_respacing": timestep_respacing})
+    model, diffusion = create_model_and_diffusion(config)
+    return model, diffusion, params, config
+
+
+def visualise(args, indices_used):
+    """Render the obs/latent index plan per step to a PNG
+    (video_sample.py:109-164)."""
+    from PIL import Image
+
+    for index in range(len(indices_used[0][0])):
+        vis = []
+        exist = list(range(args.n_obs))
+        border = np.array([0, 0, 0], np.int32)
+        for obs_idx, latent_idx in indices_used:
+            o, l = obs_idx[index], latent_idx[index]
+            exist.extend(l)
+            layer = np.full((args.T, 3), 255, np.int32)
+            layer[exist] = [50, 50, 50]
+            layer[o] = [50, 50, 255]
+            layer[l] = [255, 69, 0]
+            scale = 4
+            layer = np.repeat(layer, scale + 1, axis=0)
+            layer[::scale + 1] = border
+            layer = np.concatenate([layer, layer[:1]], axis=0)
+            vis.extend([layer.copy() for _ in range(scale + 1)])
+            vis[-1][:] = border
+        vis = np.stack([vis[-1], *vis])
+        out_dir = Path("visualisations")
+        out_dir.mkdir(parents=True, exist_ok=True)
+        fname = (f"vis_{args.sampling_scheme}_sampling-{args.T}-given-{args.n_obs}_"
+                 f"{args.max_latent_frames}-{args.max_frames}-chunks_index-{index}.png")
+        Image.fromarray(vis.astype(np.uint8)).save(out_dir / fname)
+        print(f"saved {out_dir / fname}")
+
+
+def main():
+    parser = argparse.ArgumentParser()
+    parser.add_argument("checkpoint_path", type=str)
+    parser.add_argument("--sampling_scheme", required=True, choices=sampling_schemes.keys())
+    parser.add_argument("--batch_size", type=int, default=8)
+    parser.add_argument("--eval_dir", type=str, default=None)
+    parser.add_argument("--dataset", type=str, default=None)
+    parser.add_argument("--n_obs", type=int, default=36)
+    parser.add_argument("--T", type=int, default=None)
+    parser.add_argument("--max_frames", type=int, default=None)
+    parser.add_argument("--max_latent_frames", type=int, default=None)
+    parser.add_argument("--start_index", type=int, default=0)
+    parser.add_argument("--stop_index", type=int, default=None)
+    parser.add_argument("--use_ddim", type=str2bool, default=False)
+    parser.add_argument("--timestep_respacing", type=str, default="")
+    parser.add_argument("--clip_denoised", type=str2bool, default=True)
+    parser.add_argument("--sample_idx", type=int, default=0)
+    parser.add_argument("--just_visualise", action="store_true")
+    parser.add_argument("--optimality", type=str, default=None)
+    parser.add_argument("--seed", type=int, default=0)
+    args = parser.parse_args()
+
+    if args.stop_index is None:
+        task_id = int(os.environ.get("SLURM_ARRAY_TASK_ID", 0))
+        args.start_index = task_id * args.batch_size
+        args.stop_index = (task_id + 1) * args.batch_size
+    indices = list(range(args.start_index, args.stop_index))
+
+    model, diffusion, params, config = load_model_from_checkpoint(
+        args.checkpoint_path, args.use_ddim, args.timestep_respacing
+    )
+    if args.max_frames is None:
+        args.max_frames = config.get("max_frames", 20)
+    if args.max_latent_frames is None:
+        args.max_latent_frames = args.max_frames // 2
+    dataset_name = args.dataset or config.get("dataset", "synthetic")
+    dataset = get_test_dataset(dataset_name, T=args.T)
+    args.T = dataset.T if dataset.T is not None else args.T
+
+    sampler = VideoSampler(model, diffusion, params, clip_denoised=args.clip_denoised,
+                           use_ddim=args.use_ddim)
+
+    optimal_schedule = None
+    if args.optimality is not None:
+        import torch
+
+        sched_path = Path(args.eval_dir) / "optimal_schedule.pt"
+        optimal_schedule = torch.load(sched_path, weights_only=False)
+
+    if args.just_visualise:
+        batch = np.stack([np.asarray(dataset[i]) for i in range(min(args.batch_size, len(dataset)))])
+        _, indices_used = sampler.sample_video(
+            batch, scheme_name=args.sampling_scheme, n_obs=args.n_obs,
+            max_frames=args.max_frames, step_size=args.max_latent_frames,
+            rng=jax.random.PRNGKey(args.seed), optimal_schedule=optimal_schedule,
+            just_get_indices=True,
+        )
+        visualise(args, indices_used)
+        return
+
+    eval_dir = get_model_results_path(
+        args.checkpoint_path, use_ddim=args.use_ddim,
+        timestep_respacing=args.timestep_respacing, eval_dir=args.eval_dir,
+    ) / get_eval_run_identifier(
+        args.sampling_scheme, args.max_frames, args.max_latent_frames,
+        args.T, args.n_obs, optimality=args.optimality,
+    )
+    (eval_dir / "samples").mkdir(parents=True, exist_ok=True)
+    json_path = eval_dir / "model_config.json"
+    if not json_path.exists():
+        with Protect(json_path):
+            with open(json_path, "w") as f:
+                json.dump({k: v for k, v in config.items()
+                           if isinstance(v, (str, int, float, bool, list, type(None)))},
+                          f, indent=4)
+
+    not_done = list(indices)
+    while not_done:
+        batch_indices = not_done[:args.batch_size]
+        not_done = not_done[args.batch_size:]
+        out_paths = [eval_dir / "samples" / f"sample_{i:04d}-{args.sample_idx}.npy"
+                     for i in batch_indices]
+        todo = [not p.exists() for p in out_paths]
+        if not any(todo):
+            print(f"nothing to do for batch {batch_indices}")
+            continue
+        batch = np.stack([np.asarray(dataset[i]) for i in batch_indices])
+        samples, _ = sampler.sample_video(
+            batch, scheme_name=args.sampling_scheme, n_obs=args.n_obs,
+            max_frames=args.max_frames, step_size=args.max_latent_frames,
+            rng=jax.random.fold_in(jax.random.PRNGKey(args.seed), batch_indices[0]),
+            optimal_schedule=optimal_schedule, verbose=True,
+        )
+        samples = ((samples + 1) / 2 * 255).clip(0, 255).astype(np.uint8)
+        for i, (p, do) in enumerate(zip(out_paths, todo)):
+            if do:
+                np.save(p, samples[i])
+                print(f"*** saved {p} ***")
+
+
+if __name__ == "__main__":
+    main()

@@ -1,0 +1,132 @@
+"""Train a flexible video diffusion model on TPU.
+
+Capability parity: /root/reference/scripts/video_train.py — dataset-derived
+config (T, image_size, in_channels, latent norm stats), full-config
+embedding in checkpoints, resume by run id, wandb-or-JSONL logging.
+
+Examples:
+  # CARLA latent debug config (BASELINE.json PR1 reference)
+  python scripts/video_train.py --dataset carla_no_traffic_2x_encoded \
+      --batch_size 1 --max_frames 5 --num_channels 32 --num_res_blocks 1 \
+      --diffusion_steps 32
+
+  # synthetic smoke run
+  DIFFUSION_TRAINING_TEST=1 python scripts/video_train.py --dataset synthetic
+"""
+
+import argparse
+import os
+import sys
+
+sys.path.insert(0, os.path.join(os.path.dirname(__file__), ".."))
+
+import numpy as np
+
+from lfvdm_tpu.config import (
+    add_dict_to_argparser,
+    args_to_dict,
+    create_model_and_diffusion,
+    model_and_diffusion_defaults,
+    str2bool,
+)
+from lfvdm_tpu.data.datasets import (
+    data_encoding_stats_dict,
+    default_image_size_dict,
+    default_T_dict,
+    load_data,
+)
+from lfvdm_tpu.diffusion.codecs import make_codec
+from lfvdm_tpu.diffusion.resample import create_named_schedule_sampler
+from lfvdm_tpu.parallel.mesh import make_mesh, setup_distributed
+from lfvdm_tpu.training.train_loop import TrainLoop
+from lfvdm_tpu.utils.logger import logger
+
+
+def create_argparser():
+    defaults = dict(
+        dataset="synthetic",
+        T=None,
+        lr=1e-4,
+        weight_decay=0.0,
+        lr_anneal_steps=0,
+        seed=123,
+        batch_size=1,
+        ema_rate="0.9999",
+        log_interval=10,
+        save_interval=50000,
+        sample_interval=50000,
+        max_frames=20,
+        pad_with_random_frames=True,
+        schedule_sampler="uniform",
+        checkpoint_dir="checkpoints/run",
+        resume=False,
+        fsdp=1,
+        max_steps=0,
+        use_wandb=False,
+    )
+    defaults.update(model_and_diffusion_defaults())
+    parser = argparse.ArgumentParser()
+    add_dict_to_argparser(parser, defaults)
+    return parser
+
+
+def main():
+    args = create_argparser().parse_args()
+    setup_distributed()
+
+    # Dataset-derived config (video_train.py:73-91).
+    if args.T is None:
+        args.T = default_T_dict.get(args.dataset, 100)
+    args.image_size = default_image_size_dict.get(args.dataset, args.image_size)
+    stats = None
+    if "encoded" in args.dataset:
+        args.diffusion_space = "latent"
+        args.pre_encoded = True
+        args.in_channels = 4
+        stats_path = data_encoding_stats_dict.get(args.dataset)
+        if stats_path and os.path.exists(stats_path):
+            import torch
+
+            raw = torch.load(stats_path, map_location="cpu", weights_only=False)
+            stats = {"mean": raw["mean"].numpy(), "std": raw["std"].numpy()}
+        else:
+            print(f"warning: norm stats not found at {stats_path}; using identity stats")
+            stats = {"mean": np.zeros(4, np.float32), "std": np.ones(4, np.float32)}
+    elif args.diffusion_space == "pixel":
+        args.in_channels = 3 if args.dataset != "synthetic" else 3
+
+    config = vars(args)
+    model, diffusion = create_model_and_diffusion(config)
+    codec = make_codec(args.diffusion_space, pre_encoded=args.pre_encoded,
+                       pre_encoded_stats=stats)
+
+    logger.configure(log_dir=args.checkpoint_dir, use_wandb=args.use_wandb)
+    data = load_data(args.dataset, batch_size=args.batch_size, T=args.T, seed=args.seed)
+
+    loop = TrainLoop(
+        model=model,
+        diffusion=diffusion,
+        data=data,
+        codec=codec,
+        batch_size=args.batch_size,
+        max_frames=args.max_frames,
+        lr=args.lr,
+        ema_rate=args.ema_rate,
+        log_interval=args.log_interval,
+        save_interval=args.save_interval,
+        sample_interval=args.sample_interval,
+        lr_anneal_steps=args.lr_anneal_steps,
+        weight_decay=args.weight_decay,
+        pad_with_random_frames=args.pad_with_random_frames,
+        schedule_sampler=create_named_schedule_sampler(args.schedule_sampler, diffusion),
+        checkpoint_dir=args.checkpoint_dir,
+        resume=args.resume,
+        config=config,
+        fsdp=args.fsdp,
+        seed=args.seed,
+    )
+    loop.run_loop(max_steps=args.max_steps or None)
+
+
+if __name__ == "__main__":
+    main()

@@ -7,13 +7,15 @@ separately validates the same sharded code paths via __graft_entry__.py.
 
 import os
 
-os.environ.setdefault("JAX_PLATFORMS", "cpu")
 flags = os.environ.get("XLA_FLAGS", "")
 if "xla_force_host_platform_device_count" not in flags:
     os.environ["XLA_FLAGS"] = (flags + " --xla_force_host_platform_device_count=8").strip()
 
 import jax
 
+# The harness may pre-register a TPU platform via sitecustomize and pin
+# jax.config.jax_platforms — the config-level update wins over env vars.
+jax.config.update("jax_platforms", "cpu")
 # XLA:CPU's DEFAULT matmul precision downcasts f32 matmuls (bf16 passes);
 # parity tests need true f32. TPU runs keep the fast default.
 jax.config.update("jax_default_matmul_precision", "highest")
