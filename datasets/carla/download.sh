@@ -1,0 +1,6 @@
+#!/bin/sh
+# Fetch the CARLA Town01 no-traffic videos (reference datasets/carla/download.sh).
+# Requires network egress.
+set -e
+wget https://www.cs.ubc.ca/~wsgh/fdm/carla/no-traffic.tar.gz
+tar -zxvf no-traffic.tar.gz

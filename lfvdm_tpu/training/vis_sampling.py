@@ -1,0 +1,78 @@
+"""In-training sample logging (EMA weights, deterministic vis batch).
+
+Capability parity: /root/reference/improved_diffusion/train_util.py:428-475
+(`log_samples`): on a fixed vis batch, build deterministic obs/latent masks
+(first third observed; row 1 strided), sample with the EMA weights, decode
+the composite, mark observed frames with a red border, log as video.
+"""
+
+from __future__ import annotations
+
+import jax
+import numpy as np
+
+from ..utils.logger import logger
+from ..utils.rng import RNG
+from ..utils.video_io import mark_as_observed, tensor2gif
+from .masks import sample_all_masks, prepare_training_batch
+
+
+def make_vis_masks(B: int, T: int, max_frames: int):
+    """Deterministic vis masks: row 0 contiguous prefix, row 1 strided."""
+    n_obs = max_frames // 3
+    obs = np.zeros((B, T), np.float32)
+    latent = np.zeros((B, T), np.float32)
+    obs[0, :n_obs] = 1.0
+    latent[0, n_obs:max_frames] = 1.0
+    if B > 1:
+        spacing = T // max_frames
+        obs[1, : n_obs * spacing: spacing] = 1.0
+        latent[1, n_obs * spacing: max_frames * spacing: spacing] = 1.0
+    return obs, latent, n_obs
+
+
+def make_sample_fn(vis_batch: np.ndarray, *, ema_rate: str = None, out_dir: str = None,
+                   seed: int = 0):
+    """Build a TrainLoop.sample_fn that logs EMA samples on the vis batch."""
+
+    def sample_fn(loop):
+        if jax.process_index() != 0:
+            return
+        from ..sampling.driver import VideoSampler
+
+        rate = ema_rate or sorted(loop.state["ema"].keys())[-1]
+        ema_params = loop.state["ema"][rate]
+        sampler = VideoSampler(loop.model, loop.diffusion, ema_params)
+
+        B, T = vis_batch.shape[:2]
+        with RNG(seed):
+            rng = np.random.default_rng(seed)
+            obs, latent, n_obs = make_vis_masks(B, T, loop.max_frames)
+            set_masks = {"obs": obs, "latent": latent}
+            obs_s, latent_s = sample_all_masks(rng, B, T, loop.max_frames,
+                                               set_masks=set_masks)
+            batch, fi, obs_m, lat_m = prepare_training_batch(
+                rng, vis_batch, obs_s, latent_s, loop.max_frames,
+                pad_with_random_frames=False,
+            )
+        if loop.codec is not None:
+            batch = np.asarray(loop.codec.encode(batch))
+
+        local = np.asarray(sampler.sample_window(
+            batch, fi, obs_m, lat_m, jax.random.PRNGKey(seed)))
+        composite = local * lat_m + batch * obs_m
+        if loop.codec is not None:
+            composite = np.asarray(loop.codec.decode(composite))
+        vids = ((composite + 1) * 127.5).clip(0, 255).astype(np.uint8)
+        mark_as_observed(vids[:, :n_obs])
+
+        if out_dir is not None:
+            import os
+
+            os.makedirs(out_dir, exist_ok=True)
+            for i, vid in enumerate(vids):
+                path = f"{out_dir}/step{loop.step:06d}_video{i}.gif"
+                tensor2gif(vid, path, drange=(0, 255))
+                logger.logkv(f"video-{i}", path, distributed=False)
+
+    return sample_fn

@@ -25,6 +25,8 @@ def test_frechet_distance_mean_shift_closed_form():
 
 def test_frechet_distance_parity_with_reference(reference):
     import torch
+
+    pytest.importorskip("tensorflow_hub")  # the reference module imports it at top
     from improved_diffusion.frechet_video_distance import fid_features_to_metric
 
     rng = np.random.default_rng(2)
@@ -35,10 +37,15 @@ def test_frechet_distance_parity_with_reference(reference):
     np.testing.assert_allclose(ours, float(ref), rtol=1e-4)
 
 
-def test_kid_zero_for_identical():
+def test_kid_discriminates_distributions():
+    """Unbiased MMD²: ≈0 for same-distribution sets, large for shifted."""
     rng = np.random.default_rng(3)
-    x = rng.standard_normal((200, 8))
-    assert abs(kid(x, x.copy(), n_subsets=10)) < 1e-2
+    x = rng.standard_normal((500, 8))
+    y = rng.standard_normal((500, 8))
+    near = kid(x, y, n_subsets=20)
+    far = kid(x, y + 2.0, n_subsets=20)
+    assert abs(near) < 0.5
+    assert far > 10 * abs(near)
 
 
 def test_preprocess_videos_shape_and_range():
