@@ -33,14 +33,19 @@ def load_model_from_checkpoint(path: str, use_ddim: bool, timestep_respacing: st
         from lfvdm_tpu.utils.torch_convert import convert_reference_checkpoint
 
         params, config = convert_reference_checkpoint(path)
-    else:
-        config = ckpt_lib.load_config(path)
+    elif path.endswith(".msgpack"):
+        # exported by scripts/export_params.py; config.json sits alongside
+        from flax import serialization
+
+        with open(os.path.join(os.path.dirname(path), "config.json")) as f:
+            config = json.load(f)
         model, _ = create_model_and_diffusion(config)
-        # restore just to read params: build abstract from a fresh init
+        with open(path, "rb") as f:
+            params = serialization.msgpack_restore(f.read())
+    else:
         raise SystemExit(
-            "orbax checkpoint sampling requires the training state layout; "
-            "use scripts/export_params.py to export params, or pass a "
-            "converted reference .pt checkpoint."
+            "pass a reference .pt checkpoint or a params .msgpack exported "
+            "by scripts/export_params.py (training state dirs are for resume)"
         )
     config = dict(config)
     config.update({"use_ddim": use_ddim, "timestep_respacing": timestep_respacing})
