@@ -22,12 +22,18 @@ a working clipped-distance table with window ``rpe_beta``.
 
 from __future__ import annotations
 
+import os
 from typing import Optional
 
 import jax
 import jax.numpy as jnp
 from flax import linen as nn
 
+from ..ops.attention import (
+    pallas_available,
+    spatial_attention,
+    temporal_rpe_attention,
+)
 from .nn import GroupNorm32, zero_init_dense
 
 
@@ -126,6 +132,9 @@ class RPEAttention(nn.Module):
     use_rpe_v: bool = True
     use_rpe_net: bool = False
     dtype: jnp.dtype = jnp.float32
+    # None = auto: fused Pallas kernels (lfvdm_tpu/ops/attention.py) on TPU,
+    # einsum path elsewhere / when attention weights are requested.
+    use_pallas: Optional[bool] = None
 
     @nn.compact
     def __call__(
@@ -148,11 +157,8 @@ class RPEAttention(nn.Module):
             jnp.moveaxis(qkv[:, :, :, i], -2, 2) for i in range(3)
         )  # each (B, D, H, T, F)
 
-        logits = jnp.einsum(
-            "bdhtf,bdhsf->bdhts", q * scale, k, preferred_element_type=jnp.float32
-        )
-
         use_any_rpe = self.use_rpe_q or self.use_rpe_k or self.use_rpe_v
+        all_rpe = self.use_rpe_q and self.use_rpe_k and self.use_rpe_v
         if use_any_rpe:
             assert frame_indices is not None
             # d[t, s] = frame_indices[t] - frame_indices[s]  (rpe.py:146)
@@ -163,6 +169,48 @@ class RPEAttention(nn.Module):
                 channels=C, num_heads=H, use_rpe_net=self.use_rpe_net,
                 dtype=self.dtype, name=name,
             )
+
+        use_pallas = self.use_pallas
+        if use_pallas is None:
+            kind = "TEMPORAL" if use_any_rpe else "SPATIAL"
+            use_pallas = (
+                pallas_available()
+                and not return_attn
+                and (all_rpe or not use_any_rpe)
+                and os.environ.get(f"LFVDM_PALLAS_{kind}", "1") != "0"
+            )
+
+        if use_pallas and not use_any_rpe:
+            # Fused spatial kernel: (B, D, H, T, F) is already the kernel's
+            # (batch, batch, heads, tokens, features) layout.
+            out = spatial_attention(q * scale, k, v)
+            out = jnp.moveaxis(out.astype(self.dtype), 2, -2).reshape(B, D, T, C)
+            out = zero_init_dense(C, dtype=self.dtype, name="proj_out")(out)
+            return h + out, None
+
+        if use_pallas and all_rpe:
+            R_k = make_rpe("rpe_k")(pd, temb)   # (B, T, S, H, F)
+            R_q = make_rpe("rpe_q")(pd, temb)
+            R_v = make_rpe("rpe_v")(pd, temb)
+            qk = (q * scale).transpose(0, 2, 3, 4, 1)  # (B, H, T, F, D)
+            kk = k.transpose(0, 2, 3, 4, 1)
+            vk = v.transpose(0, 2, 3, 4, 1)
+            r_k = R_k.transpose(0, 3, 1, 2, 4)                  # (B, H, T, S, F)
+            r_q_t = R_q.transpose(0, 3, 2, 1, 4) * scale        # r_q_t[t,s] = R_q[s,t]·scale
+            r_v_t = R_v.transpose(0, 3, 1, 4, 2)                # (B, H, T, F, S)
+            if attn_mask is not None:
+                m = attn_mask.astype(jnp.float32)
+            else:
+                m = jnp.ones((B, T), jnp.float32)
+            out = temporal_rpe_attention(qk, kk, vk, r_k, r_q_t, r_v_t, m)
+            out = out.transpose(0, 4, 1, 2, 3)  # -> (B, D, H, T, F)
+            out = jnp.moveaxis(out.astype(self.dtype), 2, -2).reshape(B, D, T, C)
+            out = zero_init_dense(C, dtype=self.dtype, name="proj_out")(out)
+            return h + out, None
+
+        logits = jnp.einsum(
+            "bdhtf,bdhsf->bdhts", q * scale, k, preferred_element_type=jnp.float32
+        )
 
         if self.use_rpe_k:
             R_k = make_rpe("rpe_k")(pd, temb)
