@@ -52,17 +52,36 @@ class GroupNorm32(nn.Module):
     def __call__(self, x: jnp.ndarray) -> jnp.ndarray:
         C = x.shape[-1]
         G = self.groups if C % self.groups == 0 else math.gcd(self.groups, C)
+        N = x.shape[0]
         orig_dtype = x.dtype
         scale = self.param("scale", nn.initializers.ones, (C,), jnp.float32)
         bias = self.param("bias", nn.initializers.zeros, (C,), jnp.float32)
 
-        x32 = x.astype(jnp.float32)
-        xg = x32.reshape(x.shape[0], -1, G, C // G)
-        mean = xg.mean(axis=(1, 3), keepdims=True)
-        var = xg.var(axis=(1, 3), keepdims=True)
-        xg = (xg - mean) * jax.lax.rsqrt(var + self.eps)
-        x32 = xg.reshape(x32.shape)
-        return (x32 * scale + bias).astype(orig_dtype)
+        # TPU-friendly statistics: reduce the big tensor over the middle axes
+        # FIRST (C stays on the lanes; the f32 convert fuses into the reduce),
+        # then aggregate groups on the tiny (N, C) result. Reshaping the full
+        # activation to (N, -1, G, C/G) — the torch-style formulation — forces
+        # XLA into multi-ms relayout copies at 128² resolution.
+        red_axes = tuple(range(1, x.ndim - 1))
+        n_red = C // G
+        for a in red_axes:
+            n_red *= x.shape[a]
+        x32sum = jnp.sum(x.astype(jnp.float32), axis=red_axes)  # (N, C)
+        x32sq = jnp.sum(jnp.square(x.astype(jnp.float32)), axis=red_axes)
+        g_mean = x32sum.reshape(N, G, C // G).sum(-1) / n_red  # (N, G)
+        g_sq = x32sq.reshape(N, G, C // G).sum(-1) / n_red
+        g_var = jnp.maximum(g_sq - jnp.square(g_mean), 0.0)
+        g_rstd = jax.lax.rsqrt(g_var + self.eps)
+
+        # Per-channel affine folded into the group stats: y = x·a + b with
+        # a = rstd·scale, b = bias − mean·rstd·scale — ONE fused pass over x.
+        c_mean = jnp.repeat(g_mean, C // G, axis=-1)  # (N, C)
+        c_rstd = jnp.repeat(g_rstd, C // G, axis=-1)
+        a = c_rstd * scale[None]
+        b = bias[None] - c_mean * a
+        bshape = (N,) + (1,) * len(red_axes) + (C,)
+        y = x.astype(jnp.float32) * a.reshape(bshape) + b.reshape(bshape)
+        return y.astype(orig_dtype)
 
 
 def zero_init_dense(features: int, dtype=jnp.float32, name=None) -> nn.Dense:

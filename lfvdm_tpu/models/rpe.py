@@ -172,12 +172,24 @@ class RPEAttention(nn.Module):
 
         use_pallas = self.use_pallas
         if use_pallas is None:
+            # Measured policy (benchmarks/microbench_attention.py, v5e): XLA's
+            # fused attention is excellent at small D; the Pallas temporal
+            # kernel wins once the spatial-site axis is wide (≥512 lanes,
+            # e.g. 256px models), the spatial kernel never by enough.
+            # LFVDM_PALLAS_{TEMPORAL,SPATIAL}=1/0 force-overrides.
             kind = "TEMPORAL" if use_any_rpe else "SPATIAL"
+            flag = os.environ.get(f"LFVDM_PALLAS_{kind}", "auto")
+            if flag in ("0", "1"):
+                kernel_wins = flag == "1"
+            elif use_any_rpe:
+                kernel_wins = D >= 512  # sites on the VPU lanes
+            else:
+                kernel_wins = False
             use_pallas = (
                 pallas_available()
                 and not return_attn
                 and (all_rpe or not use_any_rpe)
-                and os.environ.get(f"LFVDM_PALLAS_{kind}", "1") != "0"
+                and kernel_wins
             )
 
         if use_pallas and not use_any_rpe:

@@ -284,11 +284,17 @@ class UNetVideoModel(nn.Module):
                     ds //= 2
         assert not hs
 
-        # --- Output head (f32, like the reference's fp32 head) ---
-        h = h.astype(jnp.float32)
+        # --- Output head ---
+        # GroupNorm statistics are f32 inside GroupNorm32; the conv runs in
+        # the torso dtype (f32 MXU accumulation) and only the small output is
+        # upcast — an f32 cast of the full-res activation here costs a
+        # multi-ms HBM relayout for no precision gain (the reference's fp32
+        # head, unet.py:399-403, guards against fp16 overflow, which bf16
+        # does not have).
         h = GroupNorm32(name="out_norm")(h)
         h = nn.silu(h)
-        h = zero_init_conv(self.out_channels, dtype=jnp.float32, name="out_conv")(h)
+        h = zero_init_conv(self.out_channels, dtype=self.dtype, name="out_conv")(h)
+        h = h.astype(jnp.float32)
 
         out = h.reshape(B, T, Hs, Ws, self.out_channels).transpose(0, 1, 4, 2, 3)
         return out, attns

@@ -178,7 +178,17 @@ class TrainLoop:
         fsdp: int = 1,
         seed: int = 0,
         sample_fn: Optional[Callable] = None,
+        profile_dir: Optional[str] = None,
+        profile_start_step: int = 10,
+        profile_num_steps: int = 5,
     ):
+        # jax.profiler trace window (SURVEY.md §5: the reference only has
+        # coarse wall-clock KVs; here a device trace can be captured around
+        # steps [profile_start_step, +profile_num_steps) into profile_dir).
+        self.profile_dir = profile_dir
+        self.profile_start_step = profile_start_step
+        self.profile_num_steps = profile_num_steps
+        self._profiling = False
         self.model = model
         self.diffusion = diffusion
         self.data = data
@@ -297,7 +307,18 @@ class TrainLoop:
         while (not self.lr_anneal_steps or self.step < self.lr_anneal_steps) and (
             max_steps is None or self.step < max_steps
         ):
+            if self.profile_dir is not None and not self._profiling and (
+                self.step == self.profile_start_step
+            ):
+                jax.profiler.start_trace(self.profile_dir)
+                self._profiling = True
             self.run_step()
+            if self._profiling and self.step >= (
+                self.profile_start_step + self.profile_num_steps - 1
+            ):
+                jax.block_until_ready(self.state["params"])
+                jax.profiler.stop_trace()
+                self._profiling = False
             if self.step % self.log_interval == 0:
                 logger.dumpkvs()
             if self.step % self.save_interval == 0:

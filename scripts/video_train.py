@@ -63,6 +63,7 @@ def create_argparser():
         fsdp=1,
         max_steps=0,
         use_wandb=False,
+        profile_dir="",  # capture a jax.profiler device trace around step 10
     )
     defaults.update(model_and_diffusion_defaults())
     parser = argparse.ArgumentParser()
@@ -124,6 +125,7 @@ def main():
         config=config,
         fsdp=args.fsdp,
         seed=args.seed,
+        profile_dir=args.profile_dir or None,
     )
     loop.run_loop(max_steps=args.max_steps or None)
 
