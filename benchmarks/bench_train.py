@@ -1,0 +1,88 @@
+"""Training-step throughput on the flagship CARLA pixel config.
+
+Measures the full jitted train step (fwd + bwd + AdamW + EMA + nonfinite
+check) in frames/sec/chip — the training-side counterpart of bench.py.
+
+Usage: python benchmarks/bench_train.py [--profile]
+"""
+
+import argparse
+import json
+import time
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+
+from lfvdm_tpu.config import create_model_and_diffusion
+from lfvdm_tpu.training.train_loop import init_train_state, make_optimizer, make_train_step
+
+
+def main():
+    ap = argparse.ArgumentParser()
+    ap.add_argument("--profile", action="store_true")
+    ap.add_argument("--reps", type=int, default=10)
+    ap.add_argument("--verbose", action="store_true")
+    args = ap.parse_args()
+
+    cfg = dict(image_size=128, in_channels=3, num_channels=128, num_res_blocks=1,
+               attention_resolutions="16,8", diffusion_steps=1000,
+               compute_dtype="bfloat16")
+    model, diffusion = create_model_and_diffusion(cfg)
+    B, K, C, H = 2, 20, 3, 128  # reference README.md:54-57 training shape
+    rng = np.random.default_rng(0)
+    x0 = jnp.asarray(rng.standard_normal((B, K, C, H, H)), jnp.float32)
+    fi = jnp.asarray(np.sort(rng.integers(0, 300, (B, K)), axis=1), jnp.int32)
+    obs = jnp.zeros((B, K, 1, 1, 1), jnp.float32).at[:, : K // 3].set(1.0)
+    lat = 1.0 - obs
+    batch = dict(x0=x0, frame_indices=fi, obs_mask=obs, latent_mask=lat)
+    t = jnp.asarray(rng.integers(0, 1000, (B,)), jnp.int32)
+    w = jnp.ones((B,), jnp.float32)
+
+    params = jax.jit(model.init)(
+        jax.random.PRNGKey(0), x0, jnp.zeros((B,), jnp.int32), x0=x0,
+        frame_indices=fi, obs_mask=obs, latent_mask=lat,
+    )
+    tx = make_optimizer(1e-4, 0.0)
+    state = jax.jit(lambda p: init_train_state(p, tx, ["0.9999"]))(params)
+    step_fn = jax.jit(make_train_step(model, diffusion, tx, ["0.9999"]),
+                      donate_argnums=(0,))
+
+    key = jax.random.PRNGKey(1)
+    state, _ = step_fn(state, batch, t, w, key)  # compile + warmup
+    jax.block_until_ready(state["params"])
+
+    if args.profile:
+        ctx = jax.profiler.trace("/tmp/lfvdm_train_trace")
+    else:
+        import contextlib
+
+        ctx = contextlib.nullcontext()
+    with ctx:
+        times = []
+        for i in range(args.reps):
+            t0 = time.perf_counter()
+            state, metrics = step_fn(state, batch, t, w, jax.random.fold_in(key, i))
+            # Block on the step's outputs BEFORE any scalar fetch: on remote
+            # runtimes, fetching a scalar from an in-flight execution takes a
+            # slow polling path (measured 30x worse than block-then-fetch).
+            jax.block_until_ready(state["params"])
+            float(metrics["weighted_loss"])
+            times.append(time.perf_counter() - t0)
+        if args.verbose:
+            print("per-step:", [round(x, 3) for x in times])
+        # median: robust to stragglers (remote-runtime hiccups)
+        dt = sorted(times)[len(times) // 2]
+
+    print(json.dumps({
+        "metric": "train_frames_per_sec_per_chip",
+        "value": round(B * K / dt, 2),
+        "unit": "frames/s",
+        "sec_per_step": round(dt, 5),
+        "device": str(jax.devices()[0]),
+        "config": "carla pixel 128px ch128 res1 K20 B2 bf16",
+    }))
+
+
+if __name__ == "__main__":
+    main()

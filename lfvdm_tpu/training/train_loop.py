@@ -232,6 +232,7 @@ class TrainLoop:
         )
 
         self.step = 0
+        self._pending = []
         if resume:
             latest = ckpt_lib.find_latest_step(checkpoint_dir)
             if latest is not None:
@@ -289,18 +290,28 @@ class TrainLoop:
         self.state, metrics = self.train_step(self.state, sharded, t_dev, w_dev, step_key)
 
         if isinstance(self.schedule_sampler, LossAwareSampler):
+            # Loss-aware sampling needs this step's losses on the host NOW;
+            # otherwise metric fetches are deferred to the log flush so the
+            # step loop never blocks on device->host transfers.
             self.schedule_sampler.update_with_local_losses(t_np, np.asarray(metrics["loss"]))
 
-        losses = {k: np.asarray(v) for k, v in metrics.items()
-                  if k in ("loss", "mse", "vb", "eval-mse")}
-        log_loss_dict(self.diffusion, t_np, losses, w_np)
-        logger.logkv_mean("grad_norm", float(metrics["grad_norm"]))
-        if float(metrics["skipped_nonfinite"]):
-            logger.logkv("skipped_nonfinite_step", self.step, distributed=False)
-            print(f"non-finite gradients at step {self.step}; step skipped")
-        logger.logkv("step", self.step)
-        logger.logkv("samples", (self.step + 1) * self.batch_size * jax.process_count())
-        logger.logkv("timing/step_time", time.time() - t0)
+        self._pending.append((self.step, t_np, w_np, metrics, time.time() - t0))
+        if len(self._pending) >= self.log_interval:
+            self._flush_metrics()
+
+    def _flush_metrics(self):
+        for step, t_np, w_np, metrics, step_time in self._pending:
+            losses = {k: np.asarray(v) for k, v in metrics.items()
+                      if k in ("loss", "mse", "vb", "eval-mse")}
+            log_loss_dict(self.diffusion, t_np, losses, w_np)
+            logger.logkv_mean("grad_norm", float(metrics["grad_norm"]))
+            if float(metrics["skipped_nonfinite"]):
+                logger.logkv("skipped_nonfinite_step", step, distributed=False)
+                print(f"non-finite gradients at step {step}; step skipped")
+            logger.logkv("step", step)
+            logger.logkv("samples", (step + 1) * self.batch_size * jax.process_count())
+            logger.logkv_mean("timing/step_time", step_time)
+        self._pending = []
 
     def run_loop(self, max_steps: Optional[int] = None):
         last_sample_time = None
@@ -320,6 +331,7 @@ class TrainLoop:
                 jax.profiler.stop_trace()
                 self._profiling = False
             if self.step % self.log_interval == 0:
+                self._flush_metrics()
                 logger.dumpkvs()
             if self.step % self.save_interval == 0:
                 self.save()
