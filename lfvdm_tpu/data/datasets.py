@@ -233,6 +233,30 @@ def load_data(dataset_name, batch_size, T=None, deterministic=False,
     if return_dataset:
         return dataset
 
+    # Fast path: .npy-per-video datasets stream through the native C++
+    # loader (worker pool + partial window reads, lfvdm_tpu/native/); the
+    # Python thread below is the fallback and the path for .pt/synthetic.
+    if isinstance(dataset, NpyPerVideoDataset):
+        from .native_loader import native_loader_available, NativeVideoLoader
+
+        paths = [str(dataset.getitem_path(i)) for i in range(len(dataset))]
+        native = None
+        native_enabled = os.environ.get("LFVDM_NATIVE_LOADER", "1") != "0"
+        if paths and native_enabled and native_loader_available():
+            try:
+                native = NativeVideoLoader(
+                    paths, T=T, batch_size=batch_size, seed=seed + shard,
+                    num_threads=int(os.environ.get("LFVDM_LOADER_THREADS", "4")),
+                    capacity=num_prefetch, deterministic=deterministic,
+                )
+            except RuntimeError as e:
+                print(f"native loader unavailable ({e}); using Python loader")
+        if native is not None:
+            while True:
+                raw = next(native)  # (B, T, H, W, C) uint8
+                vid = raw.astype(np.float32) / 255.0
+                yield 2.0 * vid.transpose(0, 1, 4, 2, 3) - 1.0
+
     def producer(q: Queue):
         rng = np.random.default_rng(seed + shard)
         order = np.arange(len(dataset))

@@ -75,9 +75,12 @@ def main():
     args = create_argparser().parse_args()
     setup_distributed()
 
-    # Dataset-derived config (video_train.py:73-91).
+    # Dataset-derived config (video_train.py:73-91). None-default argparse
+    # flags parse as strings (add_dict_to_argparser types by default value),
+    # so coerce T before use.
     if args.T is None:
         args.T = default_T_dict.get(args.dataset, 100)
+    args.T = int(args.T)
     args.image_size = default_image_size_dict.get(args.dataset, args.image_size)
     stats = None
     if "encoded" in args.dataset:
