@@ -220,7 +220,10 @@ def load_data(dataset_name, batch_size, T=None, deterministic=False,
     """Infinite batch generator, sharded across JAX processes.
 
     Yields float32 (B, T, C, H, W) numpy batches forever (drop_last
-    semantics). Prefetches on a background thread.
+    semantics). ``deterministic`` disables epoch shuffling only; random
+    window starts stay (reference semantics — test mode is
+    ``get_test_dataset``). Prefetches via the native C++ loader for
+    .npy-per-video datasets, or a background thread otherwise.
     """
     import jax
 
@@ -232,7 +235,11 @@ def load_data(dataset_name, batch_size, T=None, deterministic=False,
     dataset = _build_dataset(dataset_name, data_path, T, True, shard, num_shards)
     if return_dataset:
         return dataset
+    return _batch_generator(dataset, batch_size, T, deterministic,
+                            num_prefetch, seed + shard)
 
+
+def _batch_generator(dataset, batch_size, T, deterministic, num_prefetch, seed):
     # Fast path: .npy-per-video datasets stream through the native C++
     # loader (worker pool + partial window reads, lfvdm_tpu/native/); the
     # Python thread below is the fallback and the path for .pt/synthetic.
@@ -245,20 +252,21 @@ def load_data(dataset_name, batch_size, T=None, deterministic=False,
         if paths and native_enabled and native_loader_available():
             try:
                 native = NativeVideoLoader(
-                    paths, T=T, batch_size=batch_size, seed=seed + shard,
+                    paths, T=T, batch_size=batch_size, seed=seed,
                     num_threads=int(os.environ.get("LFVDM_LOADER_THREADS", "4")),
                     capacity=num_prefetch, deterministic=deterministic,
+                    test_mode=dataset.is_test,
                 )
             except RuntimeError as e:
                 print(f"native loader unavailable ({e}); using Python loader")
         if native is not None:
             while True:
-                raw = next(native)  # (B, T, H, W, C) uint8
-                vid = raw.astype(np.float32) / 255.0
-                yield 2.0 * vid.transpose(0, 1, 4, 2, 3) - 1.0
+                raw = next(native)  # (B, T, H, W, C) storage dtype
+                # Same normalization as the Python item path.
+                yield np.stack([dataset.postprocess_video(v) for v in raw])
 
     def producer(q: Queue):
-        rng = np.random.default_rng(seed + shard)
+        rng = np.random.default_rng(seed)
         order = np.arange(len(dataset))
         while True:
             if not deterministic:

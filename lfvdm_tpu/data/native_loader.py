@@ -57,7 +57,8 @@ def _load_lib() -> Optional[ctypes.CDLL]:
         lib.vl_open.restype = ctypes.c_void_p
         lib.vl_open.argtypes = [ctypes.POINTER(ctypes.c_char_p), ctypes.c_int64,
                                 ctypes.c_int, ctypes.c_int, ctypes.c_int,
-                                ctypes.c_int, ctypes.c_uint64, ctypes.c_int]
+                                ctypes.c_int, ctypes.c_uint64, ctypes.c_int,
+                                ctypes.c_int]
         lib.vl_item_info.restype = ctypes.c_int
         lib.vl_item_info.argtypes = [ctypes.c_void_p,
                                      ctypes.POINTER(ctypes.c_int64),
@@ -86,26 +87,29 @@ class NativeVideoLoader:
     """Infinite (B, T, H, W, C) batch source backed by the C++ loader.
 
     ``paths``: per-video .npy files, frame-major, uint8 or float32, all with
-    identical per-frame shape. ``deterministic`` iterates files in order
-    with window start 0 (test semantics); otherwise epochs are shuffled and
-    window starts are uniform, matching BaseVideoDataset
-    (data/datasets.py:103-107).
+    identical per-frame shape and dtype. ``deterministic`` disables epoch
+    shuffling (window starts stay random — matching the Python path's
+    semantics, data/datasets.py); ``test_mode`` additionally pins every
+    window start to 0 (BaseVideoDataset.set_test semantics,
+    data/datasets.py:103-107).
     """
 
     def __init__(self, paths: List[str], T: int, batch_size: int, *,
                  num_threads: int = 4, capacity: int = 4, seed: int = 0,
-                 deterministic: bool = False):
+                 deterministic: bool = False, test_mode: bool = False):
         lib = _load_lib()
         if lib is None:
             raise RuntimeError(_build_error or "native loader unavailable")
         self._lib = lib
         arr = (ctypes.c_char_p * len(paths))(*[p.encode() for p in paths])
         self._handle = lib.vl_open(arr, len(paths), T, batch_size, num_threads,
-                                   capacity, seed, int(deterministic))
+                                   capacity, seed, int(deterministic),
+                                   int(test_mode))
         if not self._handle:
             raise RuntimeError(
-                "vl_open failed (unreadable/mixed-shape/too-short .npy files "
-                f"or T={T} longer than a video)")
+                "vl_open failed (unreadable/mixed-shape/mixed-dtype/too-short "
+                f".npy files, T={T} longer than a video, or batch_size > "
+                "number of videos)")
         shape = (ctypes.c_int64 * 16)()
         ndim = ctypes.c_int()
         dtype = ctypes.c_int()
@@ -123,6 +127,10 @@ class NativeVideoLoader:
         rc = self._lib.vl_next(self._handle,
                                out.ctypes.data_as(ctypes.c_void_p),
                                out.nbytes)
+        if rc == -3:
+            raise RuntimeError(
+                "native loader: a video file failed to read mid-stream "
+                "(deleted/truncated/shape-changed?)")
         if rc != 0:
             raise RuntimeError(f"vl_next failed: {rc}")
         return out

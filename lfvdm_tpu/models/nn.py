@@ -66,21 +66,43 @@ class GroupNorm32(nn.Module):
         n_red = C // G
         for a in red_axes:
             n_red *= x.shape[a]
-        x32sum = jnp.sum(x.astype(jnp.float32), axis=red_axes)  # (N, C)
-        x32sq = jnp.sum(jnp.square(x.astype(jnp.float32)), axis=red_axes)
-        g_mean = x32sum.reshape(N, G, C // G).sum(-1) / n_red  # (N, G)
-        g_sq = x32sq.reshape(N, G, C // G).sum(-1) / n_red
-        g_var = jnp.maximum(g_sq - jnp.square(g_mean), 0.0)
+        bshape = (N,) + (1,) * len(red_axes) + (C,)
+
+        # One-pass variance E[(x−a)²] − E[x−a]² anchored at a cheap per-group
+        # mean estimate from the first slice along the first middle axis, so
+        # large-|mean| f32 activations don't cancel catastrophically the way
+        # raw E[x²]−E[x]² does (relative variance error ≈ (mean/std)²·2⁻²³).
+        # For bf16 inputs the anchor is skipped: bf16 quantization noise
+        # inflates the variance ~100x sooner ((mean/std)²·2⁻¹⁶) than f32
+        # accumulation cancels, so anchoring buys nothing and the extra
+        # slice-reduce + fused subtract cost ~7% of the forward pass.
+        # NB: each reduce gets its own cast/subtract EXPRESSION — a shared
+        # intermediate makes XLA materialize the f32 tensor (a multi-ms HBM
+        # round trip at 128²) instead of fusing the convert into each reduce.
+        if x.dtype.itemsize >= 4:
+            a_slice = x[:, :1].astype(jnp.float32)
+            a_c = jnp.mean(a_slice, axis=red_axes)  # (N, C)
+            a_g = a_c.reshape(N, G, C // G).mean(-1)  # (N, G)
+            a_bcast = a_g.repeat(C // G, axis=-1).reshape(bshape)
+            s1 = jnp.sum(x.astype(jnp.float32) - a_bcast, axis=red_axes)
+            s2 = jnp.sum(jnp.square(x.astype(jnp.float32) - a_bcast), axis=red_axes)
+        else:
+            a_g = jnp.zeros((N, G), jnp.float32)
+            s1 = jnp.sum(x.astype(jnp.float32), axis=red_axes)  # (N, C)
+            s2 = jnp.sum(jnp.square(x.astype(jnp.float32)), axis=red_axes)
+        g_m = s1.reshape(N, G, C // G).sum(-1) / n_red  # E[x] − a, (N, G)
+        g_s2 = s2.reshape(N, G, C // G).sum(-1) / n_red
+        g_var = jnp.maximum(g_s2 - jnp.square(g_m), 0.0)
+        g_mean = g_m + a_g
         g_rstd = jax.lax.rsqrt(g_var + self.eps)
 
         # Per-channel affine folded into the group stats: y = x·a + b with
         # a = rstd·scale, b = bias − mean·rstd·scale — ONE fused pass over x.
         c_mean = jnp.repeat(g_mean, C // G, axis=-1)  # (N, C)
         c_rstd = jnp.repeat(g_rstd, C // G, axis=-1)
-        a = c_rstd * scale[None]
-        b = bias[None] - c_mean * a
-        bshape = (N,) + (1,) * len(red_axes) + (C,)
-        y = x.astype(jnp.float32) * a.reshape(bshape) + b.reshape(bshape)
+        mul = c_rstd * scale[None]
+        add = bias[None] - c_mean * mul
+        y = x.astype(jnp.float32) * mul.reshape(bshape) + add.reshape(bshape)
         return y.astype(orig_dtype)
 
 

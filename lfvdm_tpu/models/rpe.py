@@ -171,6 +171,12 @@ class RPEAttention(nn.Module):
             )
 
         use_pallas = self.use_pallas
+        # Hard safety guards regardless of field/env overrides: the fused
+        # kernels cannot return attention weights, and the spatial kernel
+        # has no mask support (the reference never masks spatial attention,
+        # unet.py:236-241, but an explicit caller might).
+        if return_attn or (not use_any_rpe and attn_mask is not None):
+            use_pallas = False
         if use_pallas is None:
             # Measured policy (benchmarks/microbench_attention.py, v5e): XLA's
             # fused attention is excellent at small D; the Pallas temporal

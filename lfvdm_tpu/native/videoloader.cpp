@@ -101,19 +101,25 @@ NpyInfo parse_npy_header(int fd) {
   return info;
 }
 
+struct Batch {
+  std::vector<uint8_t> buf;
+  bool ok = true;
+};
+
 struct Loader {
   std::vector<std::string> paths;
   std::vector<int64_t> lengths;  // frames per video
   NpyInfo proto;                 // shape template from the first file
   int T = 0;
   int batch = 0;
-  bool deterministic = false;
+  bool deterministic = false;    // iterate files in order (no shuffle)
+  bool test_mode = false;        // window start pinned to 0
   uint64_t seed = 0;
 
   int64_t batch_bytes = 0;
 
   // ring of filled batch buffers
-  std::queue<std::vector<uint8_t>> ready;
+  std::queue<Batch> ready;
   size_t capacity = 4;
   std::mutex mu;
   std::condition_variable cv_ready, cv_space;
@@ -138,7 +144,16 @@ struct Loader {
     int fd = open(path.c_str(), O_RDONLY);
     if (fd < 0) return false;
     NpyInfo info = parse_npy_header(fd);
-    if (!info.ok || info.item_bytes != proto.item_bytes) {
+    // Full per-frame shape + dtype must match the prototype — item_bytes
+    // alone would let e.g. u8 (T,64,64,3) and f4 (T,32,32,3) alias.
+    bool same = info.ok && info.dtype == proto.dtype &&
+                info.shape.size() == proto.shape.size();
+    if (same) {
+      for (size_t i = 1; i < info.shape.size(); ++i) {
+        same = same && info.shape[i] == proto.shape[i];
+      }
+    }
+    if (!same) {
       close(fd);
       return false;
     }
@@ -178,7 +193,7 @@ struct Loader {
           size_t vid = order[b0 + i];
           int64_t max_start = lengths[vid] - T;
           int64_t start =
-              (deterministic || max_start <= 0) ? 0 : static_cast<int64_t>(rng() % (max_start + 1));
+              (test_mode || max_start <= 0) ? 0 : static_cast<int64_t>(rng() % (max_start + 1));
           jobs[i] = {vid, start};
         }
         auto work = [&]() {
@@ -195,12 +210,13 @@ struct Loader {
         for (int t = 1; t < nt; ++t) pool.emplace_back(work);
         work();
         for (auto &t : pool) t.join();
-        if (fail.load()) std::memset(buf.data(), 0, buf.size());
 
         std::unique_lock<std::mutex> lk(mu);
         cv_space.wait(lk, [&] { return ready.size() < capacity || stop.load(); });
         if (stop.load()) return;
-        ready.push(std::move(buf));
+        // Failed reads propagate as an error batch; vl_next surfaces them
+        // instead of serving silently-zeroed training data.
+        ready.push(Batch{std::move(buf), !fail.load()});
         cv_ready.notify_one();
       }
     }
@@ -213,13 +229,17 @@ extern "C" {
 
 // Returns an opaque handle, or nullptr on failure.
 void *vl_open(const char **paths, int64_t n_paths, int T, int batch,
-              int n_threads, int capacity, uint64_t seed, int deterministic) {
-  if (n_paths <= 0 || T <= 0 || batch <= 0) return nullptr;
+              int n_threads, int capacity, uint64_t seed, int deterministic,
+              int test_mode) {
+  // batch > n_paths would make the epoch loop produce zero batches
+  // (drop_last semantics) and vl_next block forever — reject at open.
+  if (n_paths <= 0 || T <= 0 || batch <= 0 || batch > n_paths) return nullptr;
   auto *L = new Loader();
   L->T = T;
   L->batch = batch;
   L->seed = seed;
   L->deterministic = deterministic != 0;
+  L->test_mode = test_mode != 0;
   L->capacity = capacity > 0 ? capacity : 4;
   for (int64_t i = 0; i < n_paths; ++i) L->paths.emplace_back(paths[i]);
 
@@ -236,7 +256,14 @@ void *vl_open(const char **paths, int64_t n_paths, int T, int batch,
       return nullptr;
     }
     if (L->lengths.empty()) L->proto = info;
-    if (info.item_bytes != L->proto.item_bytes) {
+    bool same = info.dtype == L->proto.dtype &&
+                info.shape.size() == L->proto.shape.size();
+    if (same) {
+      for (size_t i = 1; i < info.shape.size(); ++i) {
+        same = same && info.shape[i] == L->proto.shape[i];
+      }
+    }
+    if (!same) {
       delete L;
       return nullptr;
     }
@@ -264,18 +291,20 @@ int64_t vl_batch_bytes(void *handle) {
   return L ? L->batch_bytes : -1;
 }
 
-// Blocks until a batch is ready; copies it into out. Returns 0 on success.
+// Blocks until a batch is ready; copies it into out. Returns 0 on success,
+// -3 if the batch had a failed file read (data invalid).
 int vl_next(void *handle, void *out, int64_t out_bytes) {
   auto *L = static_cast<Loader *>(handle);
   if (!L || out_bytes < L->batch_bytes) return -1;
   std::unique_lock<std::mutex> lk(L->mu);
   L->cv_ready.wait(lk, [&] { return !L->ready.empty() || L->stop.load(); });
   if (L->ready.empty()) return -2;
-  std::vector<uint8_t> buf = std::move(L->ready.front());
+  Batch b = std::move(L->ready.front());
   L->ready.pop();
   L->cv_space.notify_one();
   lk.unlock();
-  std::memcpy(out, buf.data(), buf.size());
+  if (!b.ok) return -3;
+  std::memcpy(out, b.buf.data(), b.buf.size());
   return 0;
 }
 

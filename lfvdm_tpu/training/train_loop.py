@@ -233,6 +233,7 @@ class TrainLoop:
 
         self.step = 0
         self._pending = []
+        self._window_start = time.time()
         if resume:
             latest = ckpt_lib.find_latest_step(checkpoint_dir)
             if latest is not None:
@@ -300,7 +301,14 @@ class TrainLoop:
             self._flush_metrics()
 
     def _flush_metrics(self):
-        for step, t_np, w_np, metrics, step_time in self._pending:
+        if not self._pending:
+            return
+        # Dispatch is async, so the per-step host time recorded above is NOT
+        # the device step time; the wall time across the whole pending window
+        # (which ends in the blocking np.asarray fetches below) is.
+        window = time.time() - self._window_start
+        logger.logkv_mean("timing/step_time", window / len(self._pending))
+        for step, t_np, w_np, metrics, dispatch_time in self._pending:
             losses = {k: np.asarray(v) for k, v in metrics.items()
                       if k in ("loss", "mse", "vb", "eval-mse")}
             log_loss_dict(self.diffusion, t_np, losses, w_np)
@@ -310,10 +318,21 @@ class TrainLoop:
                 print(f"non-finite gradients at step {step}; step skipped")
             logger.logkv("step", step)
             logger.logkv("samples", (step + 1) * self.batch_size * jax.process_count())
-            logger.logkv_mean("timing/step_time", step_time)
+            logger.logkv_mean("timing/dispatch_time", dispatch_time)
         self._pending = []
+        self._window_start = time.time()
 
     def run_loop(self, max_steps: Optional[int] = None):
+        try:
+            self._run_loop(max_steps)
+        finally:
+            if self._profiling:
+                # Loop ended inside the profile window (early return, error,
+                # max_steps) — finalize the trace so it is readable.
+                jax.profiler.stop_trace()
+                self._profiling = False
+
+    def _run_loop(self, max_steps: Optional[int] = None):
         last_sample_time = None
         while (not self.lr_anneal_steps or self.step < self.lr_anneal_steps) and (
             max_steps is None or self.step < max_steps
@@ -349,6 +368,7 @@ class TrainLoop:
                 self.sample_fn(self)
                 logger.logkv("timing/sampling_time", time.time() - t0, distributed=False)
                 last_sample_time = time.time()
+                self._window_start = time.time()  # keep step_time unpolluted
             self.step += 1
         if (self.step - 1) % self.save_interval != 0:
             self.save()

@@ -39,7 +39,8 @@ needs_native = pytest.mark.skipif(
 @needs_native
 def test_deterministic_iteration_matches_files(tmp_path):
     paths = _write_videos(tmp_path, n=4, T=10)
-    loader = NativeVideoLoader(paths, T=6, batch_size=2, deterministic=True, seed=1)
+    loader = NativeVideoLoader(paths, T=6, batch_size=2, deterministic=True,
+                               test_mode=True, seed=1)
     b0 = next(loader)
     b1 = next(loader)
     loader.close()
@@ -68,11 +69,32 @@ def test_random_windows_are_valid_subsequences(tmp_path):
 @needs_native
 def test_float32_videos(tmp_path):
     paths = _write_videos(tmp_path, n=3, T=9, dtype=np.float32)
-    loader = NativeVideoLoader(paths, T=5, batch_size=2, deterministic=True)
+    loader = NativeVideoLoader(paths, T=5, batch_size=2, deterministic=True,
+                               test_mode=True)
     batch = next(loader)
     loader.close()
     assert batch.dtype == np.float32
     np.testing.assert_array_equal(batch[0], np.load(paths[0])[:5])
+
+
+@needs_native
+def test_vl_open_rejects_item_bytes_aliasing(tmp_path):
+    """u8 (T,8,8,3) and f4 (T,4,4,3) have identical per-frame BYTES — the
+    loader must reject the mix on shape/dtype, not accept it on size."""
+    np.save(tmp_path / "a.npy",
+            np.zeros((20, 8, 8, 3), np.uint8))
+    np.save(tmp_path / "b.npy",
+            np.zeros((20, 4, 4, 3), np.float32))
+    with pytest.raises(RuntimeError):
+        NativeVideoLoader([str(tmp_path / "a.npy"), str(tmp_path / "b.npy")],
+                          T=4, batch_size=1)
+
+
+@needs_native
+def test_vl_open_rejects_batch_larger_than_dataset(tmp_path):
+    paths = _write_videos(tmp_path, n=2, T=10)
+    with pytest.raises(RuntimeError):
+        NativeVideoLoader(paths, T=4, batch_size=8)
 
 
 @needs_native
@@ -102,9 +124,14 @@ def test_load_data_native_integration(tmp_path, monkeypatch):
     batch = next(gen)
     assert batch.shape == (2, 6, 3, 8, 8)
     assert batch.dtype == np.float32
-    expect = np.load(train_dir / "0.npy")[:6].astype(np.float32) / 255.0
-    expect = 2 * expect.transpose(0, 3, 1, 2) - 1
-    np.testing.assert_allclose(batch[0], expect, atol=1e-6)
+    # deterministic disables shuffling only; the window start stays random
+    # (reference load_data semantics). Item 0 must be a contiguous window of
+    # video 0 with the Python path's normalization applied.
+    video = np.load(train_dir / "0.npy").astype(np.float32) / 255.0
+    video = 2 * video.transpose(0, 3, 1, 2) - 1
+    found = any(np.allclose(batch[0], video[s:s + 6], atol=1e-6)
+                for s in range(len(video) - 5))
+    assert found, "native batch item is not a normalized window of video 0"
 
 
 def test_vl_open_rejects_too_short_videos(tmp_path):

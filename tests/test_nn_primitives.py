@@ -46,6 +46,19 @@ def test_group_norm_matches_torch(shape, groups):
     np.testing.assert_allclose(out, ref, atol=2e-4, rtol=2e-4)
 
 
+def test_group_norm_large_mean_no_cancellation():
+    """One-pass variance must survive |mean| >> std (anchored formulation)."""
+    rng = np.random.default_rng(2)
+    x = (rng.standard_normal((2, 16, 16, 64)) * 0.1 + 500.0).astype(np.float32)
+    gn = GroupNorm32(groups=32)
+    params = gn.init(jax.random.PRNGKey(0), jnp.asarray(x))
+    out = np.asarray(gn.apply(params, jnp.asarray(x)))
+    xt = torch.from_numpy(np.moveaxis(x, -1, 1).copy())
+    ref = torch.nn.functional.group_norm(xt, 32, eps=1e-5).numpy()
+    ref = np.moveaxis(ref, 1, -1)
+    np.testing.assert_allclose(out, ref, atol=5e-3, rtol=5e-3)
+
+
 def test_group_norm_bf16_passthrough_dtype():
     x = jnp.asarray(np.random.default_rng(1).standard_normal((2, 8, 8, 64)), jnp.bfloat16)
     gn = GroupNorm32()
