@@ -178,24 +178,20 @@ class RPEAttention(nn.Module):
         if return_attn or (not use_any_rpe and attn_mask is not None):
             use_pallas = False
         if use_pallas is None:
-            # Measured policy (benchmarks/microbench_attention.py, v5e): XLA's
-            # fused attention is excellent at small D; the Pallas temporal
-            # kernel wins once the spatial-site axis is wide (≥512 lanes,
-            # e.g. 256px models), the spatial kernel never by enough.
-            # LFVDM_PALLAS_{TEMPORAL,SPATIAL}=1/0 force-overrides.
+            # Measured policy (benchmarks/microbench_attention.py +
+            # bench_256px.py, v5e): XLA's fused attention wins or ties the
+            # Pallas kernels in every full-model config measured (the
+            # temporal kernel's 1.17x standalone win at 1024 sites is eaten
+            # by its layout transposes in-model, 0.99x). Default OFF; the
+            # kernels stay available via LFVDM_PALLAS_{TEMPORAL,SPATIAL}=1
+            # or the use_pallas field for shapes where they pay.
             kind = "TEMPORAL" if use_any_rpe else "SPATIAL"
-            flag = os.environ.get(f"LFVDM_PALLAS_{kind}", "auto")
-            if flag in ("0", "1"):
-                kernel_wins = flag == "1"
-            elif use_any_rpe:
-                kernel_wins = D >= 512  # sites on the VPU lanes
-            else:
-                kernel_wins = False
+            flag = os.environ.get(f"LFVDM_PALLAS_{kind}", "0")
             use_pallas = (
-                pallas_available()
+                flag == "1"
+                and pallas_available()
                 and not return_attn
                 and (all_rpe or not use_any_rpe)
-                and kernel_wins
             )
 
         if use_pallas and not use_any_rpe:

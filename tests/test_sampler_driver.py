@@ -98,3 +98,28 @@ def test_unconditional_sampling(sampler):
     obs0, latent0 = indices[0]
     assert obs0[0] == [] and len(latent0[0]) == 4
     assert np.abs(samples).max() > 0
+
+
+def test_sampler_data_parallel_over_mesh(sampler):
+    """The compiled sampler runs with inputs sharded over an 8-device dp
+    mesh — multi-chip batched sampling is plain data parallelism
+    (SURVEY.md §2.7: DP is the reference's one strategy)."""
+    from lfvdm_tpu.parallel.mesh import make_mesh
+    from lfvdm_tpu.parallel.sharding import data_sharding
+
+    mesh = make_mesh()  # 8 virtual CPU devices via conftest
+    Bs = 8
+    rng = np.random.default_rng(0)
+    x0 = rng.standard_normal((Bs, 4, C, H, W)).astype(np.float32)
+    fi = np.tile(np.arange(4)[None], (Bs, 1)).astype(np.int32)
+    obs = np.zeros((Bs, 4, 1, 1, 1), np.float32)
+    obs[:, :2] = 1.0
+
+    args = [jax.device_put(a, data_sharding(mesh, a.ndim))
+            for a in (x0, fi, obs, 1.0 - obs)]
+    out = sampler.sample_window(*args, jax.random.PRNGKey(3))
+    out_np = np.asarray(out)
+    assert out_np.shape == (Bs, 4, C, H, W)
+    assert np.isfinite(out_np).all()
+    # outputs stay sharded over the batch axis (no implicit full replication)
+    assert len(out.sharding.device_set) == 8
