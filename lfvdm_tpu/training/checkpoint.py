@@ -63,6 +63,25 @@ def load_checkpoint(ckpt_dir: str, abstract_state, step: Optional[int] = None):
     return state, step, config
 
 
+def load_checkpoint_raw(ckpt_dir: str, step: Optional[int] = None):
+    """Restore (state, step, config) without an abstract template — shapes
+    and dtypes come from the checkpoint metadata (arrays load as host
+    numpy). Used by export/eval tools that don't rebuild the train state."""
+    ckpt_dir = os.path.abspath(ckpt_dir)
+    if step is None:
+        step = find_latest_step(ckpt_dir)
+        if step is None:
+            raise FileNotFoundError(f"no checkpoints under {ckpt_dir}")
+    with ocp.StandardCheckpointer() as ckptr:
+        state = ckptr.restore(os.path.join(ckpt_dir, str(step)))
+    config = {}
+    cfg_path = os.path.join(ckpt_dir, "config.json")
+    if os.path.exists(cfg_path):
+        with open(cfg_path) as f:
+            config = json.load(f)
+    return state, step, config
+
+
 def load_config(ckpt_dir: str) -> Dict:
     with open(os.path.join(os.path.abspath(ckpt_dir), "config.json")) as f:
         return json.load(f)
