@@ -47,6 +47,10 @@ class GroupNorm32(nn.Module):
 
     groups: int = 32
     eps: float = 1e-5
+    # Output dtype; None = input dtype. The normalize pass computes in f32
+    # regardless, so emitting f32 costs only write bandwidth, not a copy —
+    # used by the output head, which must stay f32 (see unet.py).
+    out_dtype: jnp.dtype = None
 
     @nn.compact
     def __call__(self, x: jnp.ndarray) -> jnp.ndarray:
@@ -103,7 +107,7 @@ class GroupNorm32(nn.Module):
         mul = c_rstd * scale[None]
         add = bias[None] - c_mean * mul
         y = x.astype(jnp.float32) * mul.reshape(bshape) + add.reshape(bshape)
-        return y.astype(orig_dtype)
+        return y.astype(self.out_dtype or orig_dtype)
 
 
 def zero_init_dense(features: int, dtype=jnp.float32, name=None) -> nn.Dense:

@@ -284,17 +284,17 @@ class UNetVideoModel(nn.Module):
                     ds //= 2
         assert not hs
 
-        # --- Output head ---
-        # GroupNorm statistics are f32 inside GroupNorm32; the conv runs in
-        # the torso dtype (f32 MXU accumulation) and only the small output is
-        # upcast — an f32 cast of the full-res activation here costs a
-        # multi-ms HBM relayout for no precision gain (the reference's fp32
-        # head, unet.py:399-403, guards against fp16 overflow, which bf16
-        # does not have).
-        h = GroupNorm32(name="out_norm")(h)
+        # --- Output head (f32 — REQUIRED for sampling correctness) ---
+        # At high t the useful signal in the eps prediction is √ᾱ_t·x0
+        # (~1e-3 of the output magnitude at t≈T); a bf16 head quantizes it
+        # away (~0.4% ulp) and the ancestral chain locks onto wrong content
+        # in its first steps even for a memorized video. The reference's
+        # fp32 head (unet.py:399-403) is precision-critical, not just an
+        # fp16-overflow guard. GroupNorm32 emits f32 straight from its fused
+        # normalize pass, so this costs write bandwidth only.
+        h = GroupNorm32(name="out_norm", out_dtype=jnp.float32)(h)
         h = nn.silu(h)
-        h = zero_init_conv(self.out_channels, dtype=self.dtype, name="out_conv")(h)
-        h = h.astype(jnp.float32)
+        h = zero_init_conv(self.out_channels, dtype=jnp.float32, name="out_conv")(h)
 
         out = h.reshape(B, T, Hs, Ws, self.out_channels).transpose(0, 1, 4, 2, 3)
         return out, attns

@@ -70,6 +70,38 @@ def test_group_norm_bf16_passthrough_dtype():
     assert abs(o32.mean(axis=(1, 3))).max() < 0.05
 
 
+def test_group_norm_out_dtype_override():
+    x = jnp.asarray(np.random.default_rng(3).standard_normal((2, 4, 4, 64)), jnp.bfloat16)
+    gn = GroupNorm32(out_dtype=jnp.float32)
+    params = gn.init(jax.random.PRNGKey(0), x)
+    assert gn.apply(params, x).dtype == jnp.float32
+
+
+def test_unet_output_head_is_float32_under_bf16_torso():
+    """Sampling-correctness regression: at high t the eps signal is ~√ᾱ·x0
+    (1e-3 at t≈T); a bf16 output head quantizes it away and the ancestral
+    chain locks onto wrong content (verified empirically on an overfit toy).
+    The head must be f32 regardless of compute dtype."""
+    from lfvdm_tpu.config import create_model_and_diffusion
+
+    cfg = dict(image_size=32, in_channels=2, num_channels=32, num_res_blocks=1,
+               attention_resolutions="8", diffusion_steps=8,
+               noise_schedule="cosine", compute_dtype="bfloat16")
+    model, _ = create_model_and_diffusion(cfg)
+    B, K = 1, 3
+    x = jnp.zeros((B, K, 2, 32, 32), jnp.float32)
+    fi = jnp.tile(jnp.arange(K)[None], (B, 1)).astype(jnp.int32)
+    m = jnp.zeros((B, K, 1, 1, 1), jnp.float32)
+    params = model.init(jax.random.PRNGKey(0), x, jnp.zeros((B,), jnp.int32),
+                        x0=x, frame_indices=fi, obs_mask=m, latent_mask=1 - m)
+    out, _ = model.apply(params, x, jnp.zeros((B,), jnp.int32), x0=x,
+                         frame_indices=fi, obs_mask=m, latent_mask=1 - m)
+    assert out.dtype == jnp.float32
+    # the head conv weights themselves must be f32 (flax dtype=f32 upcasts)
+    kern = params["params"]["out_conv"]["kernel"]
+    assert kern.dtype == jnp.float32
+
+
 def test_timestep_embedding_matches_torch_reference_layout():
     """cos|sin ordering and fractional timesteps (reference nn.py:105-123)."""
     t = jnp.asarray([0.0, 1.0, 17.5, 999.0])
