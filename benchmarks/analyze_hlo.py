@@ -64,10 +64,27 @@ def main():
         if m:
             hlo_lines[m.group(1)] = m.group(2)
 
-    print(f"{'ms/fwd':>8}  op  ::  hlo")
+    total_ms = sum(tot.values()) / 5 / 1000
+    print(f"total device time: {total_ms:.2f} ms/fwd across {len(tot)} ops")
+
+    # Aggregate by op category: how much is compute vs pure data movement.
+    cats = collections.Counter()
+    for name, us in tot.items():
+        base = re.sub(r"[.\d]+$", "", name)
+        cats[base] += us
+    print(f"\n{'ms/fwd':>8}  {'%':>5}  category")
+    for base, us in cats.most_common(20):
+        print(f"{us/5/1000:8.2f}  {us/5/1000/total_ms*100:5.1f}  {base}")
+
+    print(f"\n{'ms/fwd':>8}  op  ::  hlo")
     for name, us in tot.most_common(30):
         line = hlo_lines.get(name, "?")
         print(f"{us/5/1000:8.2f}  {name}\n          {line[:240]}")
+
+    print("\n--- top-5 ops: full HLO lines ---")
+    for name, us in tot.most_common(5):
+        line = hlo_lines.get(name, "?")
+        print(f"\n[{us/5/1000:.2f} ms] {name}\n{line}")
 
 
 if __name__ == "__main__":

@@ -1,0 +1,110 @@
+"""Profile the full sampler scan: device-busy time vs wall time per step.
+
+The forward alone measures ~26.6 ms device time (analyze_hlo.py) while the
+sampler step measures ~32.5 ms wall (bench.py) — this script attributes the
+gap: per-step device busy time, top non-UNet ops in the scan body (sampler
+math, rng), and idle time (dispatch/serialization).
+"""
+
+import collections
+import glob
+import gzip
+import json
+import re
+import time
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+
+from lfvdm_tpu.config import create_model_and_diffusion
+
+TRACE_DIR = "/tmp/lfvdm_trace_sampler"
+N_STEPS = 10
+
+
+def main():
+    cfg = dict(image_size=128, in_channels=3, num_channels=128, num_res_blocks=1,
+               attention_resolutions="16,8", diffusion_steps=1000,
+               compute_dtype="bfloat16")
+    model, diffusion = create_model_and_diffusion(cfg)
+    B, K, C, H = 2, 20, 3, 128
+    rng = np.random.default_rng(0)
+    x0 = jnp.asarray(rng.standard_normal((B, K, C, H, H)), jnp.float32)
+    fi = jnp.asarray(np.tile(np.arange(K)[None], (B, 1)), jnp.int32)
+    obs = jnp.zeros((B, K, 1, 1, 1), jnp.float32).at[:, : K // 2].set(1.0)
+    lat = 1.0 - obs
+    model_kwargs = dict(x0=x0, frame_indices=fi, obs_mask=obs, latent_mask=lat)
+    params = jax.jit(model.init)(jax.random.PRNGKey(0), x0,
+                                 jnp.zeros((B,), jnp.int32), **model_kwargs)
+
+    def model_fn(x, ts, **kw):
+        return model.apply(params, x, ts, **kw)[0]
+
+    def sampler_chunk(noise, rng_key):
+        def step(carry, s):
+            img, key = carry
+            key, sub = jax.random.split(key)
+            t_b = jnp.full((B,), s, jnp.int32)
+            out = diffusion.p_sample(model_fn, img, t_b, sub, model_kwargs=model_kwargs)
+            return (out["sample"], key), None
+
+        steps = jnp.arange(N_STEPS - 1, -1, -1)
+        (img, _), _ = jax.lax.scan(step, (noise, rng_key), steps)
+        return img
+
+    run = jax.jit(sampler_chunk)
+    noise = jnp.asarray(rng.standard_normal((B, K, C, H, H)), jnp.float32)
+    key = jax.random.PRNGKey(1)
+    run(noise, key).block_until_ready()
+
+    t0 = time.perf_counter()
+    with jax.profiler.trace(TRACE_DIR):
+        out = run(noise, key)
+        out.block_until_ready()
+    wall = time.perf_counter() - t0
+
+    p = sorted(glob.glob(f"{TRACE_DIR}/**/*.trace.json.gz", recursive=True))[-1]
+    with gzip.open(p, "rt") as f:
+        tr = json.load(f)
+    ev = tr["traceEvents"]
+    pids = {e["pid"]: e["args"]["name"] for e in ev
+            if e.get("ph") == "M" and e.get("name") == "process_name"}
+    dev = [pid for pid, n in pids.items() if "TPU" in n]
+    tot = collections.Counter()
+    spans = []
+    for e in ev:
+        if e.get("ph") == "X" and e.get("pid") in dev and e.get("dur"):
+            if e["name"].startswith("jit_"):
+                continue
+            tot[e["name"]] += e["dur"]
+            spans.append((e["ts"], e["ts"] + e["dur"]))
+
+    busy_ms = sum(tot.values()) / 1000
+    # merged-span busy time (overlaps collapsed) to estimate true idle
+    spans.sort()
+    merged = 0.0
+    cur_s, cur_e = None, None
+    for s, e in spans:
+        if cur_e is None or s > cur_e:
+            if cur_e is not None:
+                merged += cur_e - cur_s
+            cur_s, cur_e = s, e
+        else:
+            cur_e = max(cur_e, e)
+    if cur_e is not None:
+        merged += cur_e - cur_s
+    merged_ms = merged / 1000
+
+    print(f"wall: {wall*1000:.1f} ms for {N_STEPS} steps = {wall*1000/N_STEPS:.2f} ms/step")
+    print(f"device op-time sum: {busy_ms:.1f} ms = {busy_ms/N_STEPS:.2f} ms/step")
+    print(f"device busy (merged spans): {merged_ms:.1f} ms = {merged_ms/N_STEPS:.2f} ms/step")
+    print(f"idle within trace: {(wall*1000 - merged_ms):.1f} ms total")
+
+    print("\ntop 25 ops (ms per step):")
+    for name, us in tot.most_common(25):
+        print(f"  {us/1000/N_STEPS:7.3f}  {name}")
+
+
+if __name__ == "__main__":
+    main()

@@ -20,15 +20,24 @@ def replicated(mesh: Mesh) -> NamedSharding:
     return NamedSharding(mesh, P())
 
 
-def data_sharding(mesh: Mesh, ndim: int = 1) -> NamedSharding:
-    """Batch axis sharded over both mesh axes (dp and fsdp both consume data)."""
-    return NamedSharding(mesh, P((DP_AXIS, FSDP_AXIS), *([None] * (ndim - 1))))
+def data_sharding(mesh: Mesh, ndim: int = 1, accum_axis: bool = False) -> NamedSharding:
+    """Batch axis sharded over both mesh axes (dp and fsdp both consume data).
+
+    ``accum_axis=True`` marks a leading gradient-accumulation (microbatch)
+    axis: it stays unsharded (the train step scans over it sequentially) and
+    axis 1 carries the per-device batch split instead.
+    """
+    lead = [None] if accum_axis else []
+    rest = [None] * (ndim - len(lead) - 1)
+    return NamedSharding(mesh, P(*lead, (DP_AXIS, FSDP_AXIS), *rest))
 
 
-def shard_batch(mesh: Mesh, batch):
+def shard_batch(mesh: Mesh, batch, accum_axis: bool = False):
     """Place a pytree of host arrays onto the mesh, batch-axis sharded."""
     return jax.tree.map(
-        lambda x: jax.device_put(np.asarray(x), data_sharding(mesh, np.asarray(x).ndim)),
+        lambda x: jax.device_put(
+            np.asarray(x), data_sharding(mesh, np.asarray(x).ndim, accum_axis=accum_axis)
+        ),
         batch,
     )
 

@@ -60,18 +60,20 @@ def init_train_state(params, tx, ema_rates) -> Dict[str, Any]:
     }
 
 
-def make_train_step(
+def make_micro_loss(
     model,
     diffusion: GaussianDiffusion,
-    tx,
-    ema_rates,
     *,
     pad_with_random_frames: bool = True,
     dropout: float = 0.0,
 ) -> Callable:
-    """Build the pure train-step function (jit it with shardings applied)."""
+    """Loss over one (micro)batch: weighted mean of per-element losses.
 
-    def train_step(state, batch, t, weights, rng):
+    Shared by the train step's single-batch and gradient-accumulation paths
+    (and by tests that pin the accumulation semantics).
+    """
+
+    def micro_loss(params, batch, t, weights, rng):
         x0 = batch["x0"]
         model_kwargs = dict(
             x0=x0,
@@ -82,22 +84,68 @@ def make_train_step(
         # Loss covers padding frames too when padding with random frames
         # (train_util.py:305): latent_mask_for_loss = 1 - obs_mask.
         loss_mask = (1.0 - batch["obs_mask"]) if pad_with_random_frames else batch["latent_mask"]
-        rng, noise_key, drop_key = jax.random.split(rng, 3)
+        noise_key, drop_key = jax.random.split(rng)
 
-        def loss_fn(params):
-            def model_fn(x, ts, **kw):
-                rngs = {"dropout": drop_key} if dropout > 0 else None
-                out, _ = model.apply(params, x, ts, train=True, rngs=rngs, **kw)
-                return out
+        def model_fn(x, ts, **kw):
+            rngs = {"dropout": drop_key} if dropout > 0 else None
+            out, _ = model.apply(params, x, ts, train=True, rngs=rngs, **kw)
+            return out
 
-            terms = diffusion.training_losses(
-                model_fn, x0, t, noise_key, model_kwargs=model_kwargs,
-                latent_mask=loss_mask, eval_mask=batch["latent_mask"],
+        terms = diffusion.training_losses(
+            model_fn, x0, t, noise_key, model_kwargs=model_kwargs,
+            latent_mask=loss_mask, eval_mask=batch["latent_mask"],
+        )
+        loss = jnp.mean(terms["loss"] * weights)
+        return loss, terms
+
+    return micro_loss
+
+
+def make_train_step(
+    model,
+    diffusion: GaussianDiffusion,
+    tx,
+    ema_rates,
+    *,
+    pad_with_random_frames: bool = True,
+    dropout: float = 0.0,
+    n_microbatches: int = 1,
+) -> Callable:
+    """Build the pure train-step function (jit it with shardings applied).
+
+    ``n_microbatches > 1`` enables gradient accumulation: batch/t/weights
+    carry a leading microbatch axis ``(n, mb, ...)`` and the step scans over
+    it, re-using one microbatch's activation memory per chunk. Matching the
+    reference's accumulation semantics (train_util.py:281-328), each chunk
+    contributes the gradient of its own weighted MEAN loss and chunks are
+    SUMMED (not averaged) — the effective gradient scale grows with the
+    number of microbatches, exactly as torch ``loss.backward()`` per chunk.
+    """
+    micro_loss = make_micro_loss(
+        model, diffusion, pad_with_random_frames=pad_with_random_frames, dropout=dropout
+    )
+
+    def train_step(state, batch, t, weights, rng):
+        if n_microbatches == 1:
+            (loss, terms), grads = jax.value_and_grad(micro_loss, has_aux=True)(
+                state["params"], batch, t, weights, rng
             )
-            loss = jnp.mean(terms["loss"] * weights)
-            return loss, terms
+        else:
+            def body(grads_acc, xs):
+                idx, batch_i, t_i, w_i = xs
+                key = jax.random.fold_in(rng, idx)
+                (loss_i, terms_i), g_i = jax.value_and_grad(micro_loss, has_aux=True)(
+                    state["params"], batch_i, t_i, w_i, key
+                )
+                return jax.tree.map(jnp.add, grads_acc, g_i), (loss_i, terms_i)
 
-        (loss, terms), grads = jax.value_and_grad(loss_fn, has_aux=True)(state["params"])
+            zero_grads = jax.tree.map(jnp.zeros_like, state["params"])
+            grads, (losses, terms) = jax.lax.scan(
+                body, zero_grads, (jnp.arange(n_microbatches), batch, t, weights)
+            )
+            loss = losses.sum()  # what the accumulated gradient is the gradient of
+            # (n, mb, ...) -> (n*mb, ...) so logging sees one flat batch.
+            terms = jax.tree.map(lambda x: x.reshape((-1,) + x.shape[2:]), terms)
 
         grad_norm = global_norm(grads)
         finite = jnp.isfinite(grad_norm)
@@ -169,6 +217,7 @@ class TrainLoop:
         sample_interval: Optional[int] = None,
         lr_anneal_steps: int = 0,
         weight_decay: float = 0.0,
+        microbatch: int = -1,
         pad_with_random_frames: bool = True,
         schedule_sampler: Optional[ScheduleSampler] = None,
         checkpoint_dir: str = "checkpoints/run",
@@ -195,6 +244,24 @@ class TrainLoop:
         self.codec = codec
         self.batch_size = batch_size
         self.max_frames = max_frames
+        # Gradient accumulation (reference `microbatch`, train_util.py:66):
+        # <=0 disables; otherwise batch_size must divide evenly.
+        if microbatch > 0 and microbatch < batch_size:
+            assert batch_size % microbatch == 0, (
+                f"batch_size={batch_size} not divisible by microbatch={microbatch}"
+            )
+            self.n_microbatches = batch_size // microbatch
+        else:
+            self.n_microbatches = 1
+        mesh_data_shards = 1
+        if mesh is not None:
+            mesh_data_shards = int(np.prod(list(mesh.shape.values())))
+        if self.n_microbatches > 1 and (batch_size // self.n_microbatches) % mesh_data_shards:
+            raise ValueError(
+                f"microbatch={microbatch} leaves {batch_size // self.n_microbatches} "
+                f"rows per chunk, not divisible by the mesh's {mesh_data_shards} data "
+                "shards — raise microbatch or shrink the mesh"
+            )
         self.log_interval = log_interval
         self.save_interval = save_interval
         self.sample_interval = sample_interval
@@ -249,6 +316,7 @@ class TrainLoop:
             model, diffusion, self.tx, self.ema_rates,
             pad_with_random_frames=pad_with_random_frames,
             dropout=getattr(model, "dropout", 0.0),
+            n_microbatches=self.n_microbatches,
         )
         # Input shardings follow argument placement (state on the mesh, batch
         # data-sharded by shard_batch); jit only pins the donation.
@@ -285,9 +353,17 @@ class TrainLoop:
         batch = self._prepare(batch1, batch2)
         t_np, w_np = self.schedule_sampler.sample(batch["x0"].shape[0], self.host_rng)
         self.rng, step_key = jax.random.split(self.rng)
-        sharded = shard_batch(self.mesh, batch)
-        t_dev = jax.device_put(t_np, data_sharding(self.mesh))
-        w_dev = jax.device_put(w_np, data_sharding(self.mesh))
+        n = self.n_microbatches
+        accum = n > 1
+        if accum:
+            # (B, ...) -> (n, B/n, ...): the step scans over the leading axis.
+            batch = {k: v.reshape((n, v.shape[0] // n) + v.shape[1:]) for k, v in batch.items()}
+            t_arr, w_arr = (a.reshape(n, -1) for a in (t_np, w_np))
+        else:
+            t_arr, w_arr = t_np, w_np
+        sharded = shard_batch(self.mesh, batch, accum_axis=accum)
+        t_dev = jax.device_put(t_arr, data_sharding(self.mesh, t_arr.ndim, accum_axis=accum))
+        w_dev = jax.device_put(w_arr, data_sharding(self.mesh, w_arr.ndim, accum_axis=accum))
         self.state, metrics = self.train_step(self.state, sharded, t_dev, w_dev, step_key)
 
         if isinstance(self.schedule_sampler, LossAwareSampler):

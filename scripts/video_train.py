@@ -49,6 +49,7 @@ def create_argparser():
         lr=1e-4,
         weight_decay=0.0,
         lr_anneal_steps=0,
+        microbatch=-1,  # -1 disables gradient accumulation
         seed=123,
         batch_size=1,
         ema_rate="0.9999",
@@ -121,6 +122,7 @@ def main():
         sample_interval=args.sample_interval,
         lr_anneal_steps=args.lr_anneal_steps,
         weight_decay=args.weight_decay,
+        microbatch=args.microbatch,
         pad_with_random_frames=args.pad_with_random_frames,
         schedule_sampler=create_named_schedule_sampler(args.schedule_sampler, diffusion),
         checkpoint_dir=args.checkpoint_dir,

@@ -87,3 +87,102 @@ def test_training_test_env_hook(tmp_path, monkeypatch):
     loop = make_loop(tmp_path)
     loop.run_loop()  # must return after the first step, then save on exit
     assert loop.step <= 2
+
+def test_microbatch_accumulation_semantics(tmp_path):
+    """Accumulated grads = SUM over microbatches of grad(weighted-mean loss).
+
+    Matches the reference's per-chunk ``loss.backward()`` accumulation
+    (train_util.py:281-328). Pinned exactly by running the step with SGD(lr)
+    so new_params - params = -lr * accumulated_grads, and computing the
+    expected gradient from make_micro_loss with the step's fold_in keys.
+    """
+    import jax.numpy as jnp
+    import optax
+
+    from lfvdm_tpu.training.train_loop import (
+        init_train_state, make_micro_loss, make_train_step,
+    )
+
+    model, diffusion = create_model_and_diffusion(CFG)
+    rng = np.random.default_rng(0)
+    n, mb = 2, 2
+    batch = {
+        "x0": rng.standard_normal((n, mb, K, 2, 32, 32)).astype(np.float32),
+        "frame_indices": np.tile(np.arange(K, dtype=np.int32), (n, mb, 1)),
+        "obs_mask": np.zeros((n, mb, K, 1, 1, 1), np.float32),
+        "latent_mask": np.ones((n, mb, K, 1, 1, 1), np.float32),
+    }
+    batch["obs_mask"][:, :, :1] = 1.0
+    batch["latent_mask"][:, :, :1] = 0.0
+    t = rng.integers(0, diffusion.num_timesteps, (n, mb)).astype(np.int32)
+    w = np.ones((n, mb), np.float32)
+
+    params = model.init(
+        jax.random.PRNGKey(0), jnp.asarray(batch["x0"][0]),
+        jnp.zeros((mb,), jnp.int32), x0=jnp.asarray(batch["x0"][0]),
+        frame_indices=jnp.asarray(batch["frame_indices"][0]),
+        obs_mask=jnp.asarray(batch["obs_mask"][0]),
+        latent_mask=jnp.asarray(batch["latent_mask"][0]),
+    )
+    # randomize the zero-init output head so gradients flow everywhere
+    params = jax.tree.map(
+        lambda p: p + 0.01 * np.asarray(rng.standard_normal(p.shape), p.dtype), params
+    )
+
+    lr = 0.1
+    tx = optax.sgd(lr)
+    state = init_train_state(params, tx, ["0.9999"])
+    step = jax.jit(make_train_step(model, diffusion, tx, ["0.9999"], n_microbatches=n))
+    key = jax.random.PRNGKey(42)
+    new_state, metrics = step(state, batch, jnp.asarray(t), jnp.asarray(w), key)
+
+    micro_loss = make_micro_loss(model, diffusion)
+
+    def total_loss(p):
+        return sum(
+            micro_loss(p, jax.tree.map(lambda x: jnp.asarray(x[i]), batch),
+                       jnp.asarray(t[i]), jnp.asarray(w[i]),
+                       jax.random.fold_in(key, i))[0]
+            for i in range(n)
+        )
+
+    expected_loss, expected_grads = jax.value_and_grad(total_loss)(params)
+    np.testing.assert_allclose(float(metrics["weighted_loss"]), float(expected_loss),
+                               rtol=1e-5)
+    got = jax.tree.map(
+        lambda new, old: (np.asarray(old) - np.asarray(new)) / lr,
+        new_state["params"], state["params"],
+    )
+    for g, e in zip(jax.tree.leaves(got), jax.tree.leaves(expected_grads)):
+        np.testing.assert_allclose(g, np.asarray(e), rtol=2e-4, atol=5e-6)
+    # per-element metrics flattened back to (n*mb,)
+    assert np.asarray(metrics["loss"]).shape == (n * mb,)
+
+
+def test_microbatch_trainloop_runs(tmp_path):
+    # Each microbatch chunk must still shard over the 8-device mesh, so use a
+    # 16-row global batch split into 2 chunks of 8 (1 row per device each).
+    def data16(seed=0):
+        rng = np.random.default_rng(seed)
+        while True:
+            yield rng.standard_normal((16, T, 2, 32, 32)).astype(np.float32)
+
+    model, diffusion = create_model_and_diffusion(CFG)
+    loop = TrainLoop(
+        model=model, diffusion=diffusion, data=data16(),
+        batch_size=16, max_frames=K, lr=1e-4, ema_rate="0.9999",
+        log_interval=100, save_interval=10_000, microbatch=8,
+        checkpoint_dir=str(tmp_path / "ckpt"), config=dict(CFG),
+        mesh=make_mesh(),
+    )
+    assert loop.n_microbatches == 2
+    for _ in range(2):
+        loop.run_step()
+        loop.step += 1
+    assert int(loop.state["step"]) == 2
+    loop._flush_metrics()
+
+
+def test_microbatch_mesh_divisibility_guard(tmp_path):
+    with pytest.raises(ValueError, match="data\\s+shards|data shards"):
+        make_loop(tmp_path, microbatch=B // 2)  # 4-row chunks on 8 devices
