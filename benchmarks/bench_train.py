@@ -21,8 +21,10 @@ from lfvdm_tpu.training.train_loop import init_train_state, make_optimizer, make
 def main():
     ap = argparse.ArgumentParser()
     ap.add_argument("--profile", action="store_true")
-    ap.add_argument("--reps", type=int, default=10)
+    ap.add_argument("--reps", type=int, default=40)
     ap.add_argument("--verbose", action="store_true")
+    ap.add_argument("--blocking", action="store_true",
+                    help="block + fetch metrics every step (latency mode)")
     args = ap.parse_args()
 
     cfg = dict(image_size=128, in_channels=3, num_channels=128, num_res_blocks=1,
@@ -59,20 +61,31 @@ def main():
 
         ctx = contextlib.nullcontext()
     with ctx:
-        times = []
-        for i in range(args.reps):
+        if args.blocking:
+            # Latency mode: block + fetch a scalar every step. On a remote
+            # (tunneled) runtime this charges a full host round-trip per
+            # step — NOT how TrainLoop runs (it defers metric fetches to the
+            # log interval), but useful for worst-case latency.
+            times = []
+            for i in range(args.reps):
+                t0 = time.perf_counter()
+                state, metrics = step_fn(state, batch, t, w, jax.random.fold_in(key, i))
+                jax.block_until_ready(state["params"])
+                float(metrics["weighted_loss"])
+                times.append(time.perf_counter() - t0)
+            if args.verbose:
+                print("per-step:", [round(x, 3) for x in times])
+            dt = sorted(times)[len(times) // 2]  # median
+        else:
+            # Throughput mode (production regime): dispatch all steps
+            # back-to-back — state donation chains them on device — and
+            # block once at the end, exactly like TrainLoop's deferred
+            # metric fetches let consecutive steps pipeline.
             t0 = time.perf_counter()
-            state, metrics = step_fn(state, batch, t, w, jax.random.fold_in(key, i))
-            # Block on the step's outputs BEFORE any scalar fetch: on remote
-            # runtimes, fetching a scalar from an in-flight execution takes a
-            # slow polling path (measured 30x worse than block-then-fetch).
+            for i in range(args.reps):
+                state, metrics = step_fn(state, batch, t, w, jax.random.fold_in(key, i))
             jax.block_until_ready(state["params"])
-            float(metrics["weighted_loss"])
-            times.append(time.perf_counter() - t0)
-        if args.verbose:
-            print("per-step:", [round(x, 3) for x in times])
-        # median: robust to stragglers (remote-runtime hiccups)
-        dt = sorted(times)[len(times) // 2]
+            dt = (time.perf_counter() - t0) / args.reps
 
     print(json.dumps({
         "metric": "train_frames_per_sec_per_chip",
