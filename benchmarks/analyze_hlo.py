@@ -5,6 +5,9 @@ ops by total time, and prints the matching HLO instruction line (shape +
 operands) for each — attribution the aggregate view can't give.
 """
 
+import os as _os, sys as _sys
+_sys.path.insert(0, _os.path.join(_os.path.dirname(_os.path.abspath(__file__)), ".."))
+
 import collections
 import glob
 import gzip

@@ -6,6 +6,9 @@ Writes a synthetic .npy-per-video dataset to /tmp and measures sustained
 Usage: python benchmarks/bench_loader.py [--videos 32] [--frames 300]
 """
 
+import os as _os, sys as _sys
+_sys.path.insert(0, _os.path.join(_os.path.dirname(_os.path.abspath(__file__)), ".."))
+
 import argparse
 import os
 import shutil

@@ -6,6 +6,9 @@ gap: per-step device busy time, top non-UNet ops in the scan body (sampler
 math, rng), and idle time (dispatch/serialization).
 """
 
+import os as _os, sys as _sys
+_sys.path.insert(0, _os.path.join(_os.path.dirname(_os.path.abspath(__file__)), ".."))
+
 import collections
 import glob
 import gzip
