@@ -5,13 +5,9 @@ ops by total time, and prints the matching HLO instruction line (shape +
 operands) for each — attribution the aggregate view can't give.
 """
 
-import os as _os, sys as _sys
-_sys.path.insert(0, _os.path.join(_os.path.dirname(_os.path.abspath(__file__)), ".."))
+import _path  # noqa: F401  (repo root on sys.path)
 
 import collections
-import glob
-import gzip
-import json
 import re
 
 import jax
@@ -47,19 +43,11 @@ def main():
             out = fwd(params, x, t)
         jax.block_until_ready(out)
 
-    p = sorted(glob.glob(f"{TRACE_DIR}/**/*.trace.json.gz", recursive=True))[-1]
-    with gzip.open(p, "rt") as f:
-        tr = json.load(f)
-    ev = tr["traceEvents"]
-    pids = {e["pid"]: e["args"]["name"] for e in ev
-            if e.get("ph") == "M" and e.get("name") == "process_name"}
-    dev = [pid for pid, n in pids.items() if "TPU" in n]
-    tot = collections.Counter()
-    for e in ev:
-        if e.get("ph") == "X" and e.get("pid") in dev and e.get("dur"):
-            if e["name"].startswith("jit_"):
-                continue
-            tot[e["name"]] += e["dur"]
+    # "XLA Ops"-track filter (via trace_report) so whole-program Steps/module
+    # spans don't double-count into the totals.
+    from trace_report import load_device_ops
+
+    tot, _ = load_device_ops(TRACE_DIR)
 
     hlo_lines = {}
     for line in hlo.splitlines():

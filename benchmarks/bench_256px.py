@@ -6,8 +6,7 @@ the measured auto-enable threshold for the fused Pallas temporal-RPE kernel
 model and reports ms/forward with the kernels on vs off.
 """
 
-import os as _os, sys as _sys
-_sys.path.insert(0, _os.path.join(_os.path.dirname(_os.path.abspath(__file__)), ".."))
+import _path  # noqa: F401  (repo root on sys.path)
 
 import json
 import os

@@ -6,8 +6,7 @@ Writes a synthetic .npy-per-video dataset to /tmp and measures sustained
 Usage: python benchmarks/bench_loader.py [--videos 32] [--frames 300]
 """
 
-import os as _os, sys as _sys
-_sys.path.insert(0, _os.path.join(_os.path.dirname(_os.path.abspath(__file__)), ".."))
+import _path  # noqa: F401  (repo root on sys.path)
 
 import argparse
 import os

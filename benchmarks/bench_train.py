@@ -6,8 +6,7 @@ check) in frames/sec/chip — the training-side counterpart of bench.py.
 Usage: python benchmarks/bench_train.py [--profile]
 """
 
-import os as _os, sys as _sys
-_sys.path.insert(0, _os.path.join(_os.path.dirname(_os.path.abspath(__file__)), ".."))
+import _path  # noqa: F401  (repo root on sys.path)
 
 import argparse
 import json

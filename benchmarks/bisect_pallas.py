@@ -2,8 +2,7 @@
 U-Net forward with the Pallas temporal/spatial kernels toggled via
 LFVDM_PALLAS_{TEMPORAL,SPATIAL} (read at trace time)."""
 
-import os as _os, sys as _sys
-_sys.path.insert(0, _os.path.join(_os.path.dirname(_os.path.abspath(__file__)), ".."))
+import _path  # noqa: F401  (repo root on sys.path)
 
 import os
 import time

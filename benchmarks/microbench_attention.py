@@ -7,8 +7,7 @@ and losses are visible without the conv stack in the way.
 Usage: python benchmarks/microbench_attention.py [--d 256] [--c 384]
 """
 
-import os as _os, sys as _sys
-_sys.path.insert(0, _os.path.join(_os.path.dirname(_os.path.abspath(__file__)), ".."))
+import _path  # noqa: F401  (repo root on sys.path)
 
 import argparse
 import functools

@@ -18,8 +18,7 @@ Train to ~3e-3 before judging sample quality.
 Usage: python benchmarks/overfit_quality.py [--steps 6000]
 """
 
-import os as _os, sys as _sys
-_sys.path.insert(0, _os.path.join(_os.path.dirname(_os.path.abspath(__file__)), ".."))
+import _path  # noqa: F401  (repo root on sys.path)
 
 import argparse
 import json

@@ -7,8 +7,7 @@ tensorboard_plugin_profile to rank ops — no TensorBoard UI needed.
 Usage: python benchmarks/profile_forward.py [--steps 10] [--out /tmp/lfvdm_trace]
 """
 
-import os as _os, sys as _sys
-_sys.path.insert(0, _os.path.join(_os.path.dirname(_os.path.abspath(__file__)), ".."))
+import _path  # noqa: F401  (repo root on sys.path)
 
 import argparse
 import glob

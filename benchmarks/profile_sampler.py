@@ -6,14 +6,8 @@ gap: per-step device busy time, top non-UNet ops in the scan body (sampler
 math, rng), and idle time (dispatch/serialization).
 """
 
-import os as _os, sys as _sys
-_sys.path.insert(0, _os.path.join(_os.path.dirname(_os.path.abspath(__file__)), ".."))
+import _path  # noqa: F401  (repo root on sys.path)
 
-import collections
-import glob
-import gzip
-import json
-import re
 import time
 
 import jax
@@ -67,37 +61,11 @@ def main():
         out.block_until_ready()
     wall = time.perf_counter() - t0
 
-    p = sorted(glob.glob(f"{TRACE_DIR}/**/*.trace.json.gz", recursive=True))[-1]
-    with gzip.open(p, "rt") as f:
-        tr = json.load(f)
-    ev = tr["traceEvents"]
-    pids = {e["pid"]: e["args"]["name"] for e in ev
-            if e.get("ph") == "M" and e.get("name") == "process_name"}
-    dev = [pid for pid, n in pids.items() if "TPU" in n]
-    tot = collections.Counter()
-    spans = []
-    for e in ev:
-        if e.get("ph") == "X" and e.get("pid") in dev and e.get("dur"):
-            if e["name"].startswith("jit_"):
-                continue
-            tot[e["name"]] += e["dur"]
-            spans.append((e["ts"], e["ts"] + e["dur"]))
+    from trace_report import load_device_ops, merged_busy_us
 
+    tot, spans = load_device_ops(TRACE_DIR)
     busy_ms = sum(tot.values()) / 1000
-    # merged-span busy time (overlaps collapsed) to estimate true idle
-    spans.sort()
-    merged = 0.0
-    cur_s, cur_e = None, None
-    for s, e in spans:
-        if cur_e is None or s > cur_e:
-            if cur_e is not None:
-                merged += cur_e - cur_s
-            cur_s, cur_e = s, e
-        else:
-            cur_e = max(cur_e, e)
-    if cur_e is not None:
-        merged += cur_e - cur_s
-    merged_ms = merged / 1000
+    merged_ms = merged_busy_us(spans) / 1000
 
     print(f"wall: {wall*1000:.1f} ms for {N_STEPS} steps = {wall*1000/N_STEPS:.2f} ms/step")
     print(f"device op-time sum: {busy_ms:.1f} ms = {busy_ms/N_STEPS:.2f} ms/step")

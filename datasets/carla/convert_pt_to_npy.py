@@ -7,12 +7,12 @@ Usage:
   python datasets/carla/convert_pt_to_npy.py --src datasets/carla/no-traffic \
       [--dst datasets/carla/no-traffic-npy]
 
-Writes <stem>.npy next to (or under --dst mirroring) each video_*.pt /
-encoded_video_*.pt, preserving dtype (uint8 frames, float32 latents).
+Writes <stem>.npy next to (or flat under --dst) each video_*.pt /
+encoded_video_*.pt found directly in --src (non-recursive), preserving
+dtype (uint8 frames, float32 latents).
 """
 
 import argparse
-import os
 from pathlib import Path
 
 import numpy as np
@@ -34,7 +34,7 @@ def main():
         out = dst / (pt.stem + ".npy")
         if out.exists() and not args.overwrite:
             continue
-        arr = torch.load(pt, map_location="cpu", weights_only=False).numpy()
+        arr = torch.load(pt, map_location="cpu", weights_only=False).detach().numpy()
         np.save(out, np.ascontiguousarray(arr))
         n += 1
         if n % 50 == 0:

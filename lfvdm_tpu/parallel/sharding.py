@@ -27,6 +27,8 @@ def data_sharding(mesh: Mesh, ndim: int = 1, accum_axis: bool = False) -> NamedS
     axis: it stays unsharded (the train step scans over it sequentially) and
     axis 1 carries the per-device batch split instead.
     """
+    if accum_axis:
+        assert ndim >= 2, "accum_axis needs (n_micro, batch, ...) arrays, got rank < 2"
     lead = [None] if accum_axis else []
     rest = [None] * (ndim - len(lead) - 1)
     return NamedSharding(mesh, P(*lead, (DP_AXIS, FSDP_AXIS), *rest))

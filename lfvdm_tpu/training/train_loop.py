@@ -160,13 +160,15 @@ def make_train_step(
 
         new_params = select(new_params, state["params"])
         new_opt_state = select(new_opt_state, state["opt_state"])
+        # Keyed by ema_rates (the same str() keys init_train_state built) so
+        # a state/config mismatch fails loudly here instead of being ignored.
         new_ema = {
             rate: select(
                 jax.tree.map(lambda e, p, r=float(rate): e * r + p * (1 - r),
                              state["ema"][rate], new_params),
                 state["ema"][rate],
             )
-            for rate in state["ema"]
+            for rate in (str(r) for r in ema_rates)
         }
         new_state = {
             "params": new_params,
@@ -253,15 +255,6 @@ class TrainLoop:
             self.n_microbatches = batch_size // microbatch
         else:
             self.n_microbatches = 1
-        mesh_data_shards = 1
-        if mesh is not None:
-            mesh_data_shards = int(np.prod(list(mesh.shape.values())))
-        if self.n_microbatches > 1 and (batch_size // self.n_microbatches) % mesh_data_shards:
-            raise ValueError(
-                f"microbatch={microbatch} leaves {batch_size // self.n_microbatches} "
-                f"rows per chunk, not divisible by the mesh's {mesh_data_shards} data "
-                "shards — raise microbatch or shrink the mesh"
-            )
         self.log_interval = log_interval
         self.save_interval = save_interval
         self.sample_interval = sample_interval
@@ -277,6 +270,15 @@ class TrainLoop:
         )
 
         self.mesh = mesh if mesh is not None else make_mesh(fsdp=fsdp)
+        # Each microbatch chunk must still cover the mesh's data shards
+        # (checked on the RESOLVED mesh, after the make_mesh fallback).
+        mesh_data_shards = int(np.prod(list(self.mesh.shape.values())))
+        if self.n_microbatches > 1 and (batch_size // self.n_microbatches) % mesh_data_shards:
+            raise ValueError(
+                f"microbatch={microbatch} leaves {batch_size // self.n_microbatches} "
+                f"rows per chunk, not divisible by the mesh's {mesh_data_shards} data "
+                "shards — raise microbatch or shrink the mesh"
+            )
         self.host_rng = np.random.default_rng(seed + jax.process_index())
         self.rng = jax.random.PRNGKey(seed)
 
