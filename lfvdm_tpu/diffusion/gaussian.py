@@ -349,30 +349,97 @@ class GaussianDiffusion:
         denoised_fn=None,
         model_kwargs=None,
         dtype=jnp.float32,
-    ) -> jnp.ndarray:
+        return_attn_weights=False,
+    ):
         """Full ancestral sampler as one on-device ``lax.scan``.
 
         Replaces the reference's host-side Python loop
         (gaussian_diffusion.py:473-522); the entire trajectory stays in HBM
         and the model is compiled exactly once.
+
+        ``return_attn_weights=True`` reproduces the reference's per-quartile
+        attention-heatmap averaging (gaussian_diffusion.py:448-469) on
+        device: ``model_fn`` must then return ``(out, attns)`` with
+        ``attns = {"temporal": [per-layer (B, T, T)],
+        "spatial": [per-layer (B, S_l, S_l)]}`` (the video U-Net's
+        ``return_attn_weights`` output), and the call returns
+        ``(img, {"attn/q{q}-temporal": (B, T, T),
+        "attn/q{q}-spatial": (B, S, S)})`` — layer maps summed (spatial ones
+        nearest-resized to the first layer's shape and mean-renormalized,
+        matching the reference), averaged over each diffusion quartile.
         """
         rng, init_rng = jax.random.split(rng)
         img = noise if noise is not None else jax.random.normal(init_rng, shape, dtype=dtype)
         B = shape[0]
 
+        if not return_attn_weights:
+            def step(carry, s):
+                img, rng = carry
+                rng, key = jax.random.split(rng)
+                t = jnp.full((B,), s, dtype=jnp.int32)
+                out = self.p_sample(
+                    model_fn, img, t, key, clip_denoised=clip_denoised,
+                    denoised_fn=denoised_fn, model_kwargs=model_kwargs,
+                )
+                return (out["sample"], rng), None
+
+            steps = jnp.arange(self.num_timesteps - 1, -1, -1)
+            (img, _), _ = jax.lax.scan(step, (img, rng), steps)
+            return img
+
+        kwargs = model_kwargs or {}
+        # Static attn layer shapes (to build the scan carry) via eval_shape.
+        _, attn_shapes = jax.eval_shape(
+            lambda x, ts: model_fn(x, ts, **kwargs),
+            jax.ShapeDtypeStruct(tuple(shape), dtype),
+            jax.ShapeDtypeStruct((B,), jnp.int32),
+        )
+        T_attn = attn_shapes["temporal"][0].shape[-1]
+        s_target = attn_shapes["spatial"][0].shape[-1]  # first layer, like the reference
+        quarter = self.num_timesteps / 4.0
+
+        def combine_spatial(layers):
+            acc = jnp.zeros((B, s_target, s_target), jnp.float32)
+            for a in layers:
+                a = a.astype(jnp.float32)
+                s_l = a.shape[-1]
+                if s_l != s_target:
+                    assert s_target % s_l == 0, (s_target, s_l)
+                    r = s_target // s_l
+                    up = jnp.repeat(jnp.repeat(a, r, axis=-2), r, axis=-1)
+                    # renormalize like the reference: keep the layer's mean
+                    a = up / up.mean() * a.mean()
+                acc = acc + a
+            return acc
+
         def step(carry, s):
-            img, rng = carry
+            img, rng, acc_t, acc_s = carry
             rng, key = jax.random.split(rng)
             t = jnp.full((B,), s, dtype=jnp.int32)
-            out = self.p_sample(
-                model_fn, img, t, key, clip_denoised=clip_denoised,
-                denoised_fn=denoised_fn, model_kwargs=model_kwargs,
+            out, attns = model_fn(img, self._model_t(t), **kwargs)
+            pmv = self.p_mean_variance_from_output(
+                out, img, t, clip_denoised=clip_denoised, denoised_fn=denoised_fn,
             )
-            return (out["sample"], rng), None
+            noise_ = jax.random.normal(key, img.shape, dtype=img.dtype)
+            nz = (t != 0).astype(img.dtype).reshape((-1,) + (1,) * (img.ndim - 1))
+            sample = pmv["mean"] + nz * jnp.exp(0.5 * pmv["log_variance"]) * noise_
 
+            q = (4 * s) // self.num_timesteps
+            lt = sum(a.astype(jnp.float32) for a in attns["temporal"])
+            ls = combine_spatial(attns["spatial"])
+            acc_t = acc_t.at[q].add(lt / quarter)
+            acc_s = acc_s.at[q].add(ls / quarter)
+            return (sample, rng, acc_t, acc_s), None
+
+        acc_t0 = jnp.zeros((4, B, T_attn, T_attn), jnp.float32)
+        acc_s0 = jnp.zeros((4, B, s_target, s_target), jnp.float32)
         steps = jnp.arange(self.num_timesteps - 1, -1, -1)
-        (img, _), _ = jax.lax.scan(step, (img, rng), steps)
-        return img
+        (img, _, acc_t, acc_s), _ = jax.lax.scan(step, (img, rng, acc_t0, acc_s0), steps)
+        attns_out = {}
+        for q in range(4):
+            attns_out[f"attn/q{q}-temporal"] = acc_t[q]
+            attns_out[f"attn/q{q}-spatial"] = acc_s[q]
+        return img, attns_out
 
     def p_sample_loop_progressive(
         self, model_fn, shape, rng, *, noise=None, clip_denoised=True,

@@ -82,6 +82,28 @@ class VideoSampler:
         return fn(self.params, jnp.asarray(x0), jnp.asarray(frame_indices),
                   jnp.asarray(obs_mask), jnp.asarray(latent_mask), rng)
 
+    def sample_window_attn(self, x0, frame_indices, obs_mask, latent_mask, rng):
+        """``sample_window`` that also returns the reference's per-quartile
+        attention heatmaps (gaussian_diffusion.py:448-469). Ancestral only."""
+        shape = tuple(x0.shape)
+        cache_key = ("attn",) + shape
+        if cache_key not in self._compiled:
+            def fn(params, x0_, frame_indices_, obs_mask_, latent_mask_, rng_):
+                def model_fn(x, ts, **kw):
+                    return self.model.apply(params, x, ts, return_attn_weights=True, **kw)
+
+                model_kwargs = dict(x0=x0_, frame_indices=frame_indices_,
+                                    obs_mask=obs_mask_, latent_mask=latent_mask_)
+                return self.diffusion.p_sample_loop(
+                    model_fn, shape, rng_, clip_denoised=self.clip_denoised,
+                    model_kwargs=model_kwargs, return_attn_weights=True,
+                )
+
+            self._compiled[cache_key] = jax.jit(fn)
+        return self._compiled[cache_key](
+            self.params, jnp.asarray(x0), jnp.asarray(frame_indices),
+            jnp.asarray(obs_mask), jnp.asarray(latent_mask), rng)
+
     def sample_video(
         self,
         batch: np.ndarray,

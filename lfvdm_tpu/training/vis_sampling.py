@@ -32,8 +32,13 @@ def make_vis_masks(B: int, T: int, max_frames: int):
 
 
 def make_sample_fn(vis_batch: np.ndarray, *, ema_rate: str = None, out_dir: str = None,
-                   seed: int = 0):
-    """Build a TrainLoop.sample_fn that logs EMA samples on the vis batch."""
+                   seed: int = 0, log_attn: bool = False):
+    """Build a TrainLoop.sample_fn that logs EMA samples on the vis batch.
+
+    ``log_attn=True`` additionally collects the per-quartile attention
+    heatmaps during sampling (reference gaussian_diffusion.py:448-469) and
+    saves them as ``.npy`` next to the sample gifs.
+    """
 
     def sample_fn(loop):
         if jax.process_index() != 0:
@@ -58,8 +63,14 @@ def make_sample_fn(vis_batch: np.ndarray, *, ema_rate: str = None, out_dir: str 
         if loop.codec is not None:
             batch = np.asarray(loop.codec.encode(batch))
 
-        local = np.asarray(sampler.sample_window(
-            batch, fi, obs_m, lat_m, jax.random.PRNGKey(seed)))
+        attns = None
+        if log_attn:
+            local, attns = sampler.sample_window_attn(
+                batch, fi, obs_m, lat_m, jax.random.PRNGKey(seed))
+            local = np.asarray(local)
+        else:
+            local = np.asarray(sampler.sample_window(
+                batch, fi, obs_m, lat_m, jax.random.PRNGKey(seed)))
         composite = local * lat_m + batch * obs_m
         if loop.codec is not None:
             composite = np.asarray(loop.codec.decode(composite))
@@ -74,5 +85,10 @@ def make_sample_fn(vis_batch: np.ndarray, *, ema_rate: str = None, out_dir: str 
                 path = f"{out_dir}/step{loop.step:06d}_video{i}.gif"
                 tensor2gif(vid, path, drange=(0, 255))
                 logger.logkv(f"video-{i}", path, distributed=False)
+            if attns is not None:
+                for tag, arr in attns.items():
+                    safe = tag.replace("/", "_")
+                    np.save(f"{out_dir}/step{loop.step:06d}_{safe}.npy",
+                            np.asarray(arr))
 
     return sample_fn

@@ -14,8 +14,14 @@ import numpy as np
 
 
 def mark_as_observed(images: np.ndarray, color=(255, 0, 0)):
-    """Draw a border of ``color`` in-place on (..., C, H, W) uint8 frames."""
-    for i, c in enumerate(color):
+    """Draw a border of ``color`` in-place on (..., C, H, W) uint8 frames.
+
+    Non-RGB channel counts (latent-space or synthetic debug videos) get the
+    border on the channels that exist instead of crashing like the
+    reference's RGB-only version (test_util.py:76-81).
+    """
+    C = images.shape[-3]
+    for i, c in enumerate(color[:C]):
         images[..., i, :, 1:2] = c
         images[..., i, 1:2, :] = c
         images[..., i, :, -2:-1] = c

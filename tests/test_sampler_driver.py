@@ -123,3 +123,43 @@ def test_sampler_data_parallel_over_mesh(sampler):
     assert np.isfinite(out_np).all()
     # outputs stay sharded over the batch axis (no implicit full replication)
     assert len(out.sharding.device_set) == 8
+
+def test_attention_quartile_maps():
+    """Per-quartile attention averaging (ref gaussian_diffusion.py:448-469).
+
+    Two attention resolutions so the spatial nearest-resize + renormalize
+    path is exercised. Temporal maps: each layer's head/site-averaged
+    softmax rows sum to 1, layers are summed, quartiles averaged — so every
+    row of a quartile map sums to ~n_attn_layers.
+    """
+    cfg = {**CFG, "attention_resolutions": "16,8", "diffusion_steps": 8}
+    model, diffusion = create_model_and_diffusion(cfg)
+    K = 4
+    x = np.random.default_rng(1).standard_normal((B, K, C, H, W)).astype(np.float32)
+    fi = np.tile(np.arange(K)[None], (B, 1)).astype(np.int32)
+    obs = np.zeros((B, K, 1, 1, 1), np.float32)
+    obs[:, :1] = 1.0
+    params = model.init(jax.random.PRNGKey(0), x, np.zeros((B,), np.int32), x0=x,
+                        frame_indices=fi, obs_mask=obs, latent_mask=1 - obs)
+    sampler = VideoSampler(model, diffusion, params)
+
+    img, attns = sampler.sample_window_attn(x, fi, obs, 1 - obs,
+                                            jax.random.PRNGKey(2))
+    assert np.asarray(img).shape == (B, K, C, H, W)
+    assert sorted(attns.keys()) == sorted(
+        [f"attn/q{q}-{k}" for q in range(4) for k in ("temporal", "spatial")]
+    )
+    # infer the attention-layer count L from row sums: each layer's
+    # softmax rows sum to 1 and layers are summed before quartile-averaging
+    q0 = np.asarray(attns["attn/q0-temporal"])
+    assert q0.shape == (B, K, K)
+    row_sums = q0.sum(-1)
+    L = round(float(row_sums.mean()))
+    assert L >= 2  # down + middle + up layers at two resolutions
+    np.testing.assert_allclose(row_sums, L, rtol=0.35)
+    # every quartile map is non-negative and finite
+    for v in attns.values():
+        v = np.asarray(v)
+        assert np.isfinite(v).all() and (v >= -1e-6).all()
+    # spatial maps resized to the first layer's token count (16x16 = 256)
+    assert np.asarray(attns["attn/q0-spatial"]).shape == (B, 256, 256)
