@@ -147,6 +147,24 @@ def create_model_and_diffusion(config: Dict[str, Any]):
     return model, diffusion
 
 
+def enable_compilation_cache(path: str = None):
+    """Enable JAX's persistent compilation cache (opt-in).
+
+    First compiles of the flagship model take minutes on TPU; a persistent
+    cache makes relaunches (resume, eval, array jobs) near-instant. Uses
+    ``path``, else $LFVDM_COMPILE_CACHE, else stays disabled.
+    """
+    import os
+
+    import jax
+
+    path = path or os.environ.get("LFVDM_COMPILE_CACHE")
+    if not path:
+        return
+    jax.config.update("jax_compilation_cache_dir", path)
+    jax.config.update("jax_persistent_cache_min_compile_time_secs", 1.0)
+
+
 def str2bool(v) -> bool:
     if isinstance(v, bool):
         return v

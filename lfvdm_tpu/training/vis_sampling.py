@@ -40,6 +40,9 @@ def make_sample_fn(vis_batch: np.ndarray, *, ema_rate: str = None, out_dir: str 
     saves them as ``.npy`` next to the sample gifs.
     """
 
+    samplers = {}  # rate -> VideoSampler, kept across calls so the compiled
+    # sampler is reused every sample_interval (params are a jit argument).
+
     def sample_fn(loop):
         if jax.process_index() != 0:
             return
@@ -47,7 +50,10 @@ def make_sample_fn(vis_batch: np.ndarray, *, ema_rate: str = None, out_dir: str 
 
         rate = ema_rate or sorted(loop.state["ema"].keys())[-1]
         ema_params = loop.state["ema"][rate]
-        sampler = VideoSampler(loop.model, loop.diffusion, ema_params)
+        if rate not in samplers:
+            samplers[rate] = VideoSampler(loop.model, loop.diffusion, ema_params)
+        sampler = samplers[rate]
+        sampler.params = ema_params
 
         B, T = vis_batch.shape[:2]
         with RNG(seed):

@@ -104,7 +104,12 @@ def main():
     parser.add_argument("--just_visualise", action="store_true")
     parser.add_argument("--optimality", type=str, default=None)
     parser.add_argument("--seed", type=int, default=0)
+    parser.add_argument("--compilation_cache_dir", type=str, default=None)
     args = parser.parse_args()
+
+    from lfvdm_tpu.config import enable_compilation_cache
+
+    enable_compilation_cache(args.compilation_cache_dir)
 
     if args.stop_index is None:
         task_id = int(os.environ.get("SLURM_ARRAY_TASK_ID", 0))

@@ -23,6 +23,7 @@ sys.path.insert(0, os.path.join(os.path.dirname(__file__), ".."))
 import numpy as np
 
 from lfvdm_tpu.config import (
+    enable_compilation_cache,
     add_dict_to_argparser,
     args_to_dict,
     create_model_and_diffusion,
@@ -65,6 +66,8 @@ def create_argparser():
         max_steps=0,
         use_wandb=False,
         profile_dir="",  # capture a jax.profiler device trace around step 10
+        log_attn=False,  # save per-quartile attention heatmaps at vis sampling
+        compilation_cache_dir="",  # persistent XLA compile cache (big TPU win)
     )
     defaults.update(model_and_diffusion_defaults())
     parser = argparse.ArgumentParser()
@@ -74,6 +77,7 @@ def create_argparser():
 
 def main():
     args = create_argparser().parse_args()
+    enable_compilation_cache(args.compilation_cache_dir or None)
     setup_distributed()
 
     # Dataset-derived config (video_train.py:73-91). None-default argparse
@@ -108,6 +112,19 @@ def main():
     logger.configure(log_dir=args.checkpoint_dir, use_wandb=args.use_wandb)
     data = load_data(args.dataset, batch_size=args.batch_size, T=args.T, seed=args.seed)
 
+    sample_fn = None
+    if args.sample_interval:
+        from lfvdm_tpu.training.vis_sampling import make_sample_fn
+
+        # Vis batch cached up-front from the stream (train_util.py:85); the
+        # in-training sampler (log_samples parity) runs every
+        # sample_interval steps and at step 5.
+        vis_batch = np.asarray(next(data))[: min(args.batch_size, 2)]
+        sample_fn = make_sample_fn(
+            vis_batch, out_dir=os.path.join(args.checkpoint_dir, "vis"),
+            seed=0, log_attn=args.log_attn,
+        )
+
     loop = TrainLoop(
         model=model,
         diffusion=diffusion,
@@ -131,6 +148,7 @@ def main():
         fsdp=args.fsdp,
         seed=args.seed,
         profile_dir=args.profile_dir or None,
+        sample_fn=sample_fn,
     )
     loop.run_loop(max_steps=args.max_steps or None)
 
