@@ -42,10 +42,23 @@ def load_model_from_checkpoint(path: str, use_ddim: bool, timestep_respacing: st
         model, _ = create_model_and_diffusion(config)
         with open(path, "rb") as f:
             params = serialization.msgpack_restore(f.read())
+    elif os.path.isdir(path) and ckpt_lib.find_latest_step(path) is not None:
+        # Orbax training run dir: latest step's EMA params (highest rate) —
+        # the reference's "eval needs only a checkpoint path" workflow
+        # (video_sample.py:205-213) straight from a training run.
+        state, step, config = ckpt_lib.load_checkpoint_raw(path)
+        ema = state.get("ema") or {}
+        if ema:
+            rate = sorted(ema.keys())[-1]
+            params = ema[rate]
+            print(f"loaded EMA({rate}) params at step {step} from {path}")
+        else:
+            params = state["params"]
+            print(f"loaded raw params at step {step} from {path}")
     else:
         raise SystemExit(
-            "pass a reference .pt checkpoint or a params .msgpack exported "
-            "by scripts/export_params.py (training state dirs are for resume)"
+            "pass a reference .pt checkpoint, a params .msgpack exported by "
+            "scripts/export_params.py, or an orbax training run directory"
         )
     config = dict(config)
     config.update({"use_ddim": use_ddim, "timestep_respacing": timestep_respacing})
