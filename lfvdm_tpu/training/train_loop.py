@@ -302,6 +302,7 @@ class TrainLoop:
 
         self.step = 0
         self._pending = []
+        self._interrupted = False
         self._window_start = time.time()
         if resume:
             latest = ckpt_lib.find_latest_step(checkpoint_dir)
@@ -401,9 +402,27 @@ class TrainLoop:
         self._window_start = time.time()
 
     def run_loop(self, max_steps: Optional[int] = None):
+        # Preemption-safe: SIGTERM/SIGINT request a checkpoint + clean exit
+        # at the next step boundary (TPU pods are routinely preempted; the
+        # reference's recovery model is restart+resume, SURVEY §5 — this
+        # makes the restart resume from the preemption point, not the last
+        # 50k-step save). Registered only in the main thread.
+        import signal
+        import threading
+
+        prev_handlers = {}
+        if threading.current_thread() is threading.main_thread():
+            def _request_stop(signum, frame):
+                print(f"signal {signum}: checkpointing at next step boundary")
+                self._interrupted = True
+
+            for sig in (signal.SIGTERM, signal.SIGINT):
+                prev_handlers[sig] = signal.signal(sig, _request_stop)
         try:
             self._run_loop(max_steps)
         finally:
+            for sig, h in prev_handlers.items():
+                signal.signal(sig, h)
             if self._profiling:
                 # Loop ended inside the profile window (early return, error,
                 # max_steps) — finalize the trace so it is readable.
@@ -433,6 +452,11 @@ class TrainLoop:
             if self.step % self.save_interval == 0:
                 self.save()
             if os.environ.get("DIFFUSION_TRAINING_TEST", "") and self.step > 0:
+                return
+            if self._interrupted:
+                self._flush_metrics()
+                self.save()
+                print(f"checkpointed at step {self.step} after interrupt; exiting")
                 return
             if (
                 self.sample_fn is not None

@@ -186,3 +186,35 @@ def test_microbatch_trainloop_runs(tmp_path):
 def test_microbatch_mesh_divisibility_guard(tmp_path):
     with pytest.raises(ValueError, match="data\\s+shards|data shards"):
         make_loop(tmp_path, microbatch=B // 2)  # 4-row chunks on 8 devices
+
+
+def test_sigterm_checkpoints_and_exits(tmp_path):
+    """SIGTERM mid-training -> checkpoint at the step boundary + clean exit."""
+    import signal
+
+    from lfvdm_tpu.training import checkpoint as ckpt_lib
+
+    calls = []
+
+    def data():
+        rng = np.random.default_rng(0)
+        while True:
+            calls.append(1)
+            if len(calls) == 4:
+                os.kill(os.getpid(), signal.SIGTERM)
+            yield rng.standard_normal((B, T, 2, 32, 32)).astype(np.float32)
+
+    model, diffusion = create_model_and_diffusion(CFG)
+    loop = TrainLoop(
+        model=model, diffusion=diffusion, data=data(), batch_size=B,
+        max_frames=K, lr=1e-4, ema_rate="0.9999", log_interval=100,
+        save_interval=10_000, checkpoint_dir=str(tmp_path / "ckpt"),
+        config=dict(CFG), mesh=make_mesh(),
+    )
+    loop.run_loop(max_steps=50)
+    assert loop.step < 50, "loop should exit early on SIGTERM"
+    latest = ckpt_lib.find_latest_step(str(tmp_path / "ckpt"))
+    assert latest == loop.step, (latest, loop.step)
+    # the previous handler was restored on exit
+    assert signal.getsignal(signal.SIGTERM) not in (None, loop)
+    assert not loop._profiling
