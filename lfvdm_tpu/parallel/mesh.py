@@ -25,7 +25,11 @@ def setup_distributed():
     """
     import os
 
-    if "JAX_COORDINATOR_ADDRESS" in os.environ or "COORDINATOR_ADDRESS" in os.environ:
+    multi_host_tpu = len(os.environ.get("TPU_WORKER_HOSTNAMES", "").split(",")) > 1
+    if ("JAX_COORDINATOR_ADDRESS" in os.environ
+            or "COORDINATOR_ADDRESS" in os.environ
+            or multi_host_tpu):  # Cloud TPU pod slices set TPU_WORKER_HOSTNAMES,
+        # not a coordinator address; initialize() auto-discovers there.
         jax.distributed.initialize()
 
 

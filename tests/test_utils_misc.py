@@ -31,3 +31,27 @@ def test_protect_usable_before_target_exists(tmp_path):
     with Protect(str(target), timeout=5):
         assert target.parent.exists()
         assert not target.exists()
+
+
+def test_setup_distributed_detection(monkeypatch):
+    """Pod slices (TPU_WORKER_HOSTNAMES) and explicit coordinators both
+    trigger jax.distributed.initialize; bare single-host runs never do."""
+    import jax
+
+    from lfvdm_tpu.parallel import mesh
+
+    calls = []
+    monkeypatch.setattr(jax.distributed, "initialize",
+                        lambda *a, **k: calls.append(1))
+    for var in ("TPU_WORKER_HOSTNAMES", "JAX_COORDINATOR_ADDRESS",
+                "COORDINATOR_ADDRESS"):
+        monkeypatch.delenv(var, raising=False)
+    mesh.setup_distributed()
+    assert calls == []
+    monkeypatch.setenv("TPU_WORKER_HOSTNAMES", "h0,h1,h2,h3")
+    mesh.setup_distributed()
+    assert calls == [1]
+    monkeypatch.delenv("TPU_WORKER_HOSTNAMES")
+    monkeypatch.setenv("JAX_COORDINATOR_ADDRESS", "1.2.3.4:1234")
+    mesh.setup_distributed()
+    assert calls == [1, 1]
