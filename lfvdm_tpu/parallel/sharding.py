@@ -34,14 +34,28 @@ def data_sharding(mesh: Mesh, ndim: int = 1, accum_axis: bool = False) -> NamedS
     return NamedSharding(mesh, P(*lead, (DP_AXIS, FSDP_AXIS), *rest))
 
 
+def put_batch_array(mesh: Mesh, x, accum_axis: bool = False):
+    """Place one host batch array onto the mesh, batch-axis sharded.
+
+    Single-process: a plain sharded device_put. Multi-process (pod slices):
+    each process holds only its LOCAL rows — matching the reference's
+    per-rank batches (train_util.py:91) — so the global array is assembled
+    with make_array_from_process_local_data; the global batch is
+    local_batch × process_count along the sharded axis.
+    """
+    x = np.asarray(x)
+    sharding = data_sharding(mesh, x.ndim, accum_axis=accum_axis)
+    if jax.process_count() == 1:
+        return jax.device_put(x, sharding)
+    axis = 1 if accum_axis else 0
+    gshape = list(x.shape)
+    gshape[axis] *= jax.process_count()
+    return jax.make_array_from_process_local_data(sharding, x, tuple(gshape))
+
+
 def shard_batch(mesh: Mesh, batch, accum_axis: bool = False):
     """Place a pytree of host arrays onto the mesh, batch-axis sharded."""
-    return jax.tree.map(
-        lambda x: jax.device_put(
-            np.asarray(x), data_sharding(mesh, np.asarray(x).ndim, accum_axis=accum_axis)
-        ),
-        batch,
-    )
+    return jax.tree.map(lambda x: put_batch_array(mesh, x, accum_axis=accum_axis), batch)
 
 
 def fsdp_param_sharding(mesh: Mesh, params, min_size: int = 2**16):

@@ -31,7 +31,7 @@ import optax
 from ..diffusion.gaussian import GaussianDiffusion
 from ..diffusion.resample import LossAwareSampler, ScheduleSampler, UniformSampler
 from ..parallel.mesh import make_mesh
-from ..parallel.sharding import data_sharding, fsdp_param_sharding, replicated, shard_batch
+from ..parallel.sharding import fsdp_param_sharding, put_batch_array, shard_batch
 from ..utils.logger import logger
 from . import checkpoint as ckpt_lib
 from .masks import sample_training_batch
@@ -365,8 +365,8 @@ class TrainLoop:
         else:
             t_arr, w_arr = t_np, w_np
         sharded = shard_batch(self.mesh, batch, accum_axis=accum)
-        t_dev = jax.device_put(t_arr, data_sharding(self.mesh, t_arr.ndim, accum_axis=accum))
-        w_dev = jax.device_put(w_arr, data_sharding(self.mesh, w_arr.ndim, accum_axis=accum))
+        t_dev = put_batch_array(self.mesh, t_arr, accum_axis=accum)
+        w_dev = put_batch_array(self.mesh, w_arr, accum_axis=accum)
         self.state, metrics = self.train_step(self.state, sharded, t_dev, w_dev, step_key)
 
         if isinstance(self.schedule_sampler, LossAwareSampler):
