@@ -38,6 +38,8 @@ def main():
     ap.add_argument("--steps", type=int, default=6000)
     ap.add_argument("--threshold", type=float, default=20.0)
     ap.add_argument("--compute_dtype", default="bfloat16")
+    ap.add_argument("--encoder_reuse", type=int, default=1,
+                    help="sample with training-free encoder propagation every k steps")
     args = ap.parse_args()
 
     cfg = dict(image_size=32, in_channels=3, num_channels=64, num_res_blocks=1,
@@ -57,7 +59,8 @@ def main():
                      checkpoint_dir="/tmp/lfvdm_overfit_quality", config=cfg)
     loop.run_loop(max_steps=args.steps)
 
-    sampler = VideoSampler(model, diffusion, loop.state["params"])
+    sampler = VideoSampler(model, diffusion, loop.state["params"],
+                           encoder_reuse=args.encoder_reuse)
     samples, _ = sampler.sample_video(np.stack([video]), scheme_name="autoreg",
                                       n_obs=4, max_frames=5, step_size=2,
                                       rng=jax.random.PRNGKey(0))
@@ -68,6 +71,7 @@ def main():
     ok = gen_err < args.threshold and max(err[:4]) == 0.0
     print(json.dumps({
         "metric": "overfit_gen_err_uint8",
+        "encoder_reuse": args.encoder_reuse,
         "value": round(gen_err, 2),
         "threshold": args.threshold,
         "obs_frames_exact": max(err[:4]) == 0.0,

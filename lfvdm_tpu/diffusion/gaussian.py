@@ -350,8 +350,21 @@ class GaussianDiffusion:
         model_kwargs=None,
         dtype=jnp.float32,
         return_attn_weights=False,
+        encoder_reuse=1,
+        model_fn_features=None,
     ):
         """Full ancestral sampler as one on-device ``lax.scan``.
+
+        ``encoder_reuse=k`` (k > 1) enables training-free encoder
+        propagation (arXiv:2312.09608): the U-Net's down+middle path runs
+        only every k-th step and the decoder reuses the cached skip
+        features (with CURRENT timestep conditioning) in between, cutting
+        the encoder's FLOPs from the other steps. Requires
+        ``model_fn_features(x, t, features_or_None) -> (out, features)``
+        (see ``UNetVideoModel`` ``features``/``return_features``); the
+        branch choice is a ``lax.cond`` on the step index so the whole
+        trajectory stays one compiled scan. Approximate by design — opt-in,
+        never the default path.
 
         Replaces the reference's host-side Python loop
         (gaussian_diffusion.py:473-522); the entire trajectory stays in HBM
@@ -371,6 +384,47 @@ class GaussianDiffusion:
         rng, init_rng = jax.random.split(rng)
         img = noise if noise is not None else jax.random.normal(init_rng, shape, dtype=dtype)
         B = shape[0]
+
+        if encoder_reuse > 1:
+            assert model_fn_features is not None, (
+                "encoder_reuse needs model_fn_features(x, t, features) -> (out, features)"
+            )
+            assert not return_attn_weights, "encoder_reuse + attn logging unsupported"
+            # Carry the feature pytree; structure from an abstract trace.
+            _, feat_shapes = jax.eval_shape(
+                lambda x, ts: model_fn_features(x, ts, None),
+                jax.ShapeDtypeStruct(tuple(shape), dtype),
+                jax.ShapeDtypeStruct((B,), jnp.int32),
+            )
+            feats0 = jax.tree.map(lambda s: jnp.zeros(s.shape, s.dtype), feat_shapes)
+
+            def step(carry, si):
+                img, rng, feats = carry
+                i, s = si
+                rng, key = jax.random.split(rng)
+                t = jnp.full((B,), s, dtype=jnp.int32)
+                mt = self._model_t(t)
+
+                def full(img, mt, feats):
+                    return model_fn_features(img, mt, None)
+
+                def reuse(img, mt, feats):
+                    return model_fn_features(img, mt, feats)
+
+                out, feats = jax.lax.cond(i % encoder_reuse == 0, full, reuse,
+                                          img, mt, feats)
+                pmv = self.p_mean_variance_from_output(
+                    out, img, t, clip_denoised=clip_denoised, denoised_fn=denoised_fn,
+                )
+                noise_ = jax.random.normal(key, img.shape, dtype=img.dtype)
+                nz = (t != 0).astype(img.dtype).reshape((-1,) + (1,) * (img.ndim - 1))
+                sample = pmv["mean"] + nz * jnp.exp(0.5 * pmv["log_variance"]) * noise_
+                return (sample, rng, feats), None
+
+            steps = jnp.arange(self.num_timesteps - 1, -1, -1)
+            idx = jnp.arange(self.num_timesteps)
+            (img, _, _), _ = jax.lax.scan(step, (img, rng, feats0), (idx, steps))
+            return img
 
         if not return_attn_weights:
             def step(carry, s):

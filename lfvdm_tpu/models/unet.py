@@ -198,7 +198,17 @@ class UNetVideoModel(nn.Module):
         latent_mask,
         train: bool = False,
         return_attn_weights: bool = False,
+        features=None,
+        return_features: bool = False,
     ):
+        """See class docstring. Two extra (static) inference knobs implement
+        encoder reuse (arXiv:2312.09608 — down+middle features drift slowly
+        across adjacent diffusion steps, so the decoder can be refreshed
+        alone): ``return_features=True`` additionally returns
+        ``(middle_h, skip_tuple)``; passing that tuple back as ``features``
+        skips the stem/down/middle computation and runs only the up path +
+        head with CURRENT timestep conditioning. ``features=None`` is the
+        exact full forward."""
         B, T, C, Hs, Ws = x.shape
         num_heads_up = self.num_heads if self.num_heads_upsample == -1 else self.num_heads_upsample
 
@@ -243,37 +253,40 @@ class UNetVideoModel(nn.Module):
                 attns["spatial"].append(a["spatial"])
             return h
 
-        # --- Down path ---
-        ch = self.model_channels
-        h = nn.Conv(ch, (3, 3), padding="SAME", dtype=self.dtype, name="stem")(h)
-        hs = [h]
-        input_chans = [ch]
-        ds = 1
-        for level, mult in enumerate(self.channel_mult):
-            for i in range(self.num_res_blocks):
-                ch = mult * self.model_channels
-                h = res_block(f"down_{level}_{i}", ch)(h, emb)
-                if ds in self.attention_resolutions:
-                    h = apply_attn(h, self.num_heads, f"down_attn_{level}_{i}")
-                hs.append(h)
-                input_chans.append(ch)
-            if level != len(self.channel_mult) - 1:
-                h = Downsample(use_conv=self.conv_resample, dtype=self.dtype,
-                               name=f"downsample_{level}")(h)
-                hs.append(h)
-                input_chans.append(ch)
-                ds *= 2
+        if features is None:
+            # --- Down path ---
+            ch = self.model_channels
+            h = nn.Conv(ch, (3, 3), padding="SAME", dtype=self.dtype, name="stem")(h)
+            hs = [h]
+            ds = 1
+            for level, mult in enumerate(self.channel_mult):
+                for i in range(self.num_res_blocks):
+                    ch = mult * self.model_channels
+                    h = res_block(f"down_{level}_{i}", ch)(h, emb)
+                    if ds in self.attention_resolutions:
+                        h = apply_attn(h, self.num_heads, f"down_attn_{level}_{i}")
+                    hs.append(h)
+                if level != len(self.channel_mult) - 1:
+                    h = Downsample(use_conv=self.conv_resample, dtype=self.dtype,
+                                   name=f"downsample_{level}")(h)
+                    hs.append(h)
+                    ds *= 2
 
-        # --- Middle ---
-        h = res_block("middle_res_1", ch)(h, emb)
-        h = apply_attn(h, self.num_heads, "middle_attn")
-        h = res_block("middle_res_2", ch)(h, emb)
+            # --- Middle ---
+            h = res_block("middle_res_1", ch)(h, emb)
+            h = apply_attn(h, self.num_heads, "middle_attn")
+            h = res_block("middle_res_2", ch)(h, emb)
+        else:
+            # Encoder reuse: features from a previous step's full forward.
+            h, skips = features
+            hs = list(skips)
+        out_features = (h, tuple(hs)) if return_features else None
+        ds = 2 ** (len(self.channel_mult) - 1)
 
         # --- Up path ---
         for level, mult in reversed(list(enumerate(self.channel_mult))):
             for i in range(self.num_res_blocks + 1):
                 skip = hs.pop()
-                input_chans.pop()
                 ch = self.model_channels * mult
                 h = res_block(f"up_{level}_{i}", ch)(jnp.concatenate([h, skip], axis=-1), emb)
                 if ds in self.attention_resolutions:
@@ -297,4 +310,6 @@ class UNetVideoModel(nn.Module):
         h = zero_init_conv(self.out_channels, dtype=jnp.float32, name="out_conv")(h)
 
         out = h.reshape(B, T, Hs, Ws, self.out_channels).transpose(0, 1, 4, 2, 3)
+        if return_features:
+            return out, attns, out_features
         return out, attns

@@ -41,6 +41,7 @@ class VideoSampler:
         clip_denoised: bool = True,
         use_ddim: bool = False,
         eta: float = 0.0,
+        encoder_reuse: int = 1,
     ):
         self.model = model
         self.diffusion = diffusion
@@ -48,6 +49,13 @@ class VideoSampler:
         self.clip_denoised = clip_denoised
         self.use_ddim = use_ddim
         self.eta = eta
+        # Training-free encoder propagation (arXiv:2312.09608): run the
+        # U-Net encoder every k-th diffusion step, decoder-only between.
+        # Approximate — opt-in; ancestral sampling only.
+        self.encoder_reuse = int(encoder_reuse)
+        assert self.encoder_reuse == 1 or not use_ddim, (
+            "encoder_reuse supports the ancestral sampler only"
+        )
         self._compiled: Dict[Tuple[int, ...], callable] = {}
 
     def _sampler_for(self, shape: Tuple[int, ...]):
@@ -55,16 +63,30 @@ class VideoSampler:
             return self._compiled[shape]
 
         def fn(params, x0, frame_indices, obs_mask, latent_mask, rng):
+            model_kwargs = dict(x0=x0, frame_indices=frame_indices,
+                                obs_mask=obs_mask, latent_mask=latent_mask)
+
             def model_fn(x, ts, **kw):
                 out, _ = self.model.apply(params, x, ts, **kw)
                 return out
 
-            model_kwargs = dict(x0=x0, frame_indices=frame_indices,
-                                obs_mask=obs_mask, latent_mask=latent_mask)
             if self.use_ddim:
                 return self.diffusion.ddim_sample_loop(
                     model_fn, shape, rng, clip_denoised=self.clip_denoised,
                     model_kwargs=model_kwargs, eta=self.eta,
+                )
+            if self.encoder_reuse > 1:
+                def model_fn_features(x, ts, feats):
+                    out, _, new_feats = self.model.apply(
+                        params, x, ts, features=feats, return_features=True,
+                        **model_kwargs)
+                    return out, new_feats
+
+                return self.diffusion.p_sample_loop(
+                    model_fn, shape, rng, clip_denoised=self.clip_denoised,
+                    model_kwargs=model_kwargs,
+                    encoder_reuse=self.encoder_reuse,
+                    model_fn_features=model_fn_features,
                 )
             return self.diffusion.p_sample_loop(
                 model_fn, shape, rng, clip_denoised=self.clip_denoised,

@@ -118,6 +118,10 @@ def main():
     parser.add_argument("--optimality", type=str, default=None)
     parser.add_argument("--seed", type=int, default=0)
     parser.add_argument("--compilation_cache_dir", type=str, default=None)
+    parser.add_argument("--encoder_reuse", type=int, default=1,
+                        help="run the U-Net encoder every k-th diffusion step and "
+                             "reuse cached skip features between (training-free "
+                             "acceleration, arXiv:2312.09608; approximate)")
     args = parser.parse_args()
 
     from lfvdm_tpu.config import enable_compilation_cache
@@ -142,7 +146,7 @@ def main():
     args.T = dataset.T if dataset.T is not None else args.T
 
     sampler = VideoSampler(model, diffusion, params, clip_denoised=args.clip_denoised,
-                           use_ddim=args.use_ddim)
+                           use_ddim=args.use_ddim, encoder_reuse=args.encoder_reuse)
 
     optimal_schedule = None
     if args.optimality is not None:

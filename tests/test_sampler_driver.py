@@ -163,3 +163,29 @@ def test_attention_quartile_maps():
         assert np.isfinite(v).all() and (v >= -1e-6).all()
     # spatial maps resized to the first layer's token count (16x16 = 256)
     assert np.asarray(attns["attn/q0-spatial"]).shape == (B, 256, 256)
+
+
+def test_encoder_reuse_sampler(sampler):
+    """Training-free encoder propagation (arXiv:2312.09608): k=2 runs the
+    encoder every other step inside one compiled scan. Same seed as the
+    exact sampler -> results stay close on a near-zero model, and the
+    observed-frame conditioning path is untouched."""
+    model, diffusion, params = sampler.model, sampler.diffusion, sampler.params
+    fast = VideoSampler(model, diffusion, params, encoder_reuse=2)
+
+    K = 4
+    x = np.random.default_rng(3).standard_normal((B, K, C, H, W)).astype(np.float32)
+    fi = np.tile(np.arange(K)[None], (B, 1)).astype(np.int32)
+    obs = np.zeros((B, K, 1, 1, 1), np.float32)
+    obs[:, :1] = 1.0
+    key = jax.random.PRNGKey(7)
+    exact = np.asarray(sampler.sample_window(x, fi, obs, 1 - obs, key))
+    approx = np.asarray(fast.sample_window(x, fi, obs, 1 - obs, key))
+    assert np.isfinite(approx).all()
+    assert approx.shape == exact.shape
+    # identical rng stream; only reused-encoder steps differ — near-zero
+    # model => small deviation, definitely not garbage
+    assert np.abs(approx - exact).mean() < 0.5, np.abs(approx - exact).mean()
+    # ddim + encoder_reuse is rejected
+    with pytest.raises(AssertionError):
+        VideoSampler(model, diffusion, params, use_ddim=True, encoder_reuse=2)
