@@ -87,10 +87,14 @@ def bench_one(name, cfg, B, K, n_steps):
 
     run = jax.jit(chunk)
     noise = jnp.asarray(rng.standard_normal((B, K, C, H, H)), jnp.float32)
-    run(noise, jax.random.PRNGKey(1)).block_until_ready()
+    # np.asarray is a REAL fence on tunneled runtimes; block_until_ready has
+    # been observed to return while the remote compile is still in flight
+    # (see .claude/skills/verify/SKILL.md).
+    np.asarray(run(noise, jax.random.PRNGKey(1)))
     t0 = time.perf_counter()
-    run(noise, jax.random.PRNGKey(2)).block_until_ready()
+    host = np.asarray(run(noise, jax.random.PRNGKey(2)))
     dt = (time.perf_counter() - t0) / n_steps
+    assert np.isfinite(host).all()
     return {
         "config": name, "B": B, "K": K,
         "ms_per_call": round(dt * 1000, 2),

@@ -230,6 +230,15 @@ def load_data(dataset_name, batch_size, T=None, deterministic=False,
     T = default_T_dict.get(dataset_name) if T is None else T
     data_path = _data_root_path(video_data_paths_dict.get(dataset_name, ""))
     shardable = dataset_name.startswith("carla") or dataset_name == "synthetic"
+    if not shardable and jax.process_count() > 1:
+        # Mirror the reference's hard stop (video_datasets.py:231-232,
+        # 250-251): running these unsharded on a pod would feed every
+        # process the SAME rows — the global batch silently holds
+        # process_count copies of each video.
+        raise ValueError(
+            f"dataset {dataset_name!r} is not shardable across "
+            f"{jax.process_count()} processes; it would duplicate rows"
+        )
     shard = jax.process_index() if shardable else 0
     num_shards = jax.process_count() if shardable else 1
     dataset = _build_dataset(dataset_name, data_path, T, True, shard, num_shards)

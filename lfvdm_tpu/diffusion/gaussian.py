@@ -325,6 +325,13 @@ class GaussianDiffusion:
 
     # ---- sampling ----
 
+    @staticmethod
+    def _ancestral_update(pmv: dict, x, t, rng):
+        """Draw x_{t-1} from the posterior params; no noise at t == 0."""
+        noise = jax.random.normal(rng, x.shape, dtype=x.dtype)
+        nonzero_mask = (t != 0).astype(x.dtype).reshape((-1,) + (1,) * (x.ndim - 1))
+        return pmv["mean"] + nonzero_mask * jnp.exp(0.5 * pmv["log_variance"]) * noise
+
     def p_sample(
         self, model_fn, x, t, rng, clip_denoised=True, denoised_fn=None, model_kwargs=None
     ) -> dict:
@@ -333,9 +340,7 @@ class GaussianDiffusion:
             model_fn, x, t, clip_denoised=clip_denoised, denoised_fn=denoised_fn,
             model_kwargs=model_kwargs,
         )
-        noise = jax.random.normal(rng, x.shape, dtype=x.dtype)
-        nonzero_mask = (t != 0).astype(x.dtype).reshape((-1,) + (1,) * (x.ndim - 1))
-        sample = out["mean"] + nonzero_mask * jnp.exp(0.5 * out["log_variance"]) * noise
+        sample = self._ancestral_update(out, x, t, rng)
         return {"sample": sample, "pred_xstart": out["pred_xstart"]}
 
     def p_sample_loop(
@@ -416,9 +421,7 @@ class GaussianDiffusion:
                 pmv = self.p_mean_variance_from_output(
                     out, img, t, clip_denoised=clip_denoised, denoised_fn=denoised_fn,
                 )
-                noise_ = jax.random.normal(key, img.shape, dtype=img.dtype)
-                nz = (t != 0).astype(img.dtype).reshape((-1,) + (1,) * (img.ndim - 1))
-                sample = pmv["mean"] + nz * jnp.exp(0.5 * pmv["log_variance"]) * noise_
+                sample = self._ancestral_update(pmv, img, t, key)
                 return (sample, rng, feats), None
 
             steps = jnp.arange(self.num_timesteps - 1, -1, -1)
@@ -474,9 +477,7 @@ class GaussianDiffusion:
             pmv = self.p_mean_variance_from_output(
                 out, img, t, clip_denoised=clip_denoised, denoised_fn=denoised_fn,
             )
-            noise_ = jax.random.normal(key, img.shape, dtype=img.dtype)
-            nz = (t != 0).astype(img.dtype).reshape((-1,) + (1,) * (img.ndim - 1))
-            sample = pmv["mean"] + nz * jnp.exp(0.5 * pmv["log_variance"]) * noise_
+            sample = self._ancestral_update(pmv, img, t, key)
 
             q = (4 * s) // self.num_timesteps
             lt = sum(a.astype(jnp.float32) for a in attns["temporal"])

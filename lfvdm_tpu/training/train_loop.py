@@ -41,6 +41,22 @@ def global_norm(tree) -> jnp.ndarray:
     return jnp.sqrt(sum(jnp.sum(jnp.square(x)) for x in jax.tree.leaves(tree)))
 
 
+def local_numpy(v):
+    """Host-fetch a metric array: the full value single-process, this
+    process's own batch rows on multi-host meshes.
+
+    Per-example metrics are sharded over the GLOBAL mesh; np.asarray on a
+    non-addressable array raises on pods. The local rows are exactly the
+    rows this process fed (put_batch_array), so they line up with the local
+    t/weights for quartile logging; the logger's process_allgather reduction
+    recombines across hosts.
+    """
+    if isinstance(v, jax.Array) and not (v.is_fully_addressable or v.is_fully_replicated):
+        shards = sorted(v.addressable_shards, key=lambda s: s.index[0].start or 0)
+        return np.concatenate([np.asarray(s.data) for s in shards], axis=0)
+    return np.asarray(v)
+
+
 def make_optimizer(lr: float, weight_decay: float, lr_anneal_steps: int = 0):
     """AdamW with the reference's linear LR decay (train_util.py:359-365)."""
     if lr_anneal_steps:
@@ -373,7 +389,7 @@ class TrainLoop:
             # Loss-aware sampling needs this step's losses on the host NOW;
             # otherwise metric fetches are deferred to the log flush so the
             # step loop never blocks on device->host transfers.
-            self.schedule_sampler.update_with_local_losses(t_np, np.asarray(metrics["loss"]))
+            self.schedule_sampler.update_with_local_losses(t_np, local_numpy(metrics["loss"]))
 
         self._pending.append((self.step, t_np, w_np, metrics, time.time() - t0))
         if len(self._pending) >= self.log_interval:
@@ -388,11 +404,11 @@ class TrainLoop:
         window = time.time() - self._window_start
         logger.logkv_mean("timing/step_time", window / len(self._pending))
         for step, t_np, w_np, metrics, dispatch_time in self._pending:
-            losses = {k: np.asarray(v) for k, v in metrics.items()
+            losses = {k: local_numpy(v) for k, v in metrics.items()
                       if k in ("loss", "mse", "vb", "eval-mse")}
             log_loss_dict(self.diffusion, t_np, losses, w_np)
-            logger.logkv_mean("grad_norm", float(metrics["grad_norm"]))
-            if float(metrics["skipped_nonfinite"]):
+            logger.logkv_mean("grad_norm", float(local_numpy(metrics["grad_norm"])))
+            if float(local_numpy(metrics["skipped_nonfinite"])):
                 logger.logkv("skipped_nonfinite_step", step, distributed=False)
                 print(f"non-finite gradients at step {step}; step skipped")
             logger.logkv("step", step)
@@ -453,7 +469,22 @@ class TrainLoop:
                 self.save()
             if os.environ.get("DIFFUSION_TRAINING_TEST", "") and self.step > 0:
                 return
-            if self._interrupted:
+            interrupted = self._interrupted
+            if jax.process_count() > 1:
+                # Signals land on each pod worker asynchronously; saving on a
+                # per-process flag would enter the collective orbax save with
+                # mismatched steps. Agree on the flag at a PROCESS-UNIFORM
+                # cadence (the log boundary — the metric flush already syncs
+                # there) so every process enters the allgather identically.
+                if self.step % self.log_interval == 0:
+                    from jax.experimental import multihost_utils
+
+                    flags = multihost_utils.process_allgather(
+                        jnp.asarray(self._interrupted))
+                    interrupted = bool(np.asarray(flags).any())
+                else:
+                    interrupted = False
+            if interrupted:
                 self._flush_metrics()
                 self.save()
                 print(f"checkpointed at step {self.step} after interrupt; exiting")

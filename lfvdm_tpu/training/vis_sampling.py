@@ -43,8 +43,18 @@ def make_sample_fn(vis_batch: np.ndarray, *, ema_rate: str = None, out_dir: str 
     samplers = {}  # rate -> VideoSampler, kept across calls so the compiled
     # sampler is reused every sample_interval (params are a jit argument).
 
+    warned = []
+
     def sample_fn(loop):
-        if jax.process_index() != 0:
+        if jax.process_count() > 1:
+            # EMA params live on the GLOBAL mesh; a process-0-only jit over
+            # them either fails device-compatibility or deadlocks the other
+            # processes in a collective. Until vis sampling gathers params
+            # host-local, skip symmetrically on pods (a no-op on every
+            # process cannot deadlock).
+            if not warned and jax.process_index() == 0:
+                warned.append(True)
+                print("vis sampling skipped: multi-host run (params are mesh-global)")
             return
         from ..sampling.driver import VideoSampler
 

@@ -46,6 +46,10 @@ def load_model_from_checkpoint(path: str, use_ddim: bool, timestep_respacing: st
         # Orbax training run dir: latest step's EMA params (highest rate) —
         # the reference's "eval needs only a checkpoint path" workflow
         # (video_sample.py:205-213) straight from a training run.
+        # NOTE: load_checkpoint_raw restores the WHOLE train state (params +
+        # Adam moments + every EMA copy, ~5x params host memory). Fine at
+        # this model scale; billions of params would want an orbax partial
+        # restore of state["ema"][rate] only.
         state, step, config = ckpt_lib.load_checkpoint_raw(path)
         ema = state.get("ema") or {}
         if ema:

@@ -211,10 +211,11 @@ def test_sigterm_checkpoints_and_exits(tmp_path):
         save_interval=10_000, checkpoint_dir=str(tmp_path / "ckpt"),
         config=dict(CFG), mesh=make_mesh(),
     )
+    before = signal.getsignal(signal.SIGTERM)
     loop.run_loop(max_steps=50)
     assert loop.step < 50, "loop should exit early on SIGTERM"
     latest = ckpt_lib.find_latest_step(str(tmp_path / "ckpt"))
     assert latest == loop.step, (latest, loop.step)
-    # the previous handler was restored on exit
-    assert signal.getsignal(signal.SIGTERM) not in (None, loop)
+    # the handler active before run_loop was restored exactly
+    assert signal.getsignal(signal.SIGTERM) is before
     assert not loop._profiling
