@@ -55,3 +55,33 @@ def test_setup_distributed_detection(monkeypatch):
     monkeypatch.setenv("JAX_COORDINATOR_ADDRESS", "1.2.3.4:1234")
     mesh.setup_distributed()
     assert calls == [1, 1]
+
+
+def test_local_numpy_single_process_identity():
+    """local_numpy returns the full value when everything is addressable."""
+    import jax
+    import jax.numpy as jnp
+    import numpy as np
+
+    from lfvdm_tpu.parallel.mesh import make_mesh
+    from lfvdm_tpu.parallel.sharding import data_sharding
+    from lfvdm_tpu.training.train_loop import local_numpy
+
+    mesh = make_mesh()
+    x = np.arange(16, dtype=np.float32)
+    dev = jax.device_put(x, data_sharding(mesh, 1))
+    np.testing.assert_array_equal(local_numpy(dev), x)
+    np.testing.assert_array_equal(local_numpy(jnp.float32(3.5)), np.float32(3.5))
+    np.testing.assert_array_equal(local_numpy(x), x)  # plain numpy passthrough
+
+
+def test_unshardable_dataset_refuses_multiprocess(monkeypatch):
+    """mazes/minerl on >1 process must fail loudly, not duplicate rows."""
+    import jax
+    import pytest
+
+    from lfvdm_tpu.data import datasets
+
+    monkeypatch.setattr(jax, "process_count", lambda: 4)
+    with pytest.raises(ValueError, match="not shardable"):
+        next(datasets.load_data("mazes", batch_size=1, T=4))
