@@ -83,11 +83,17 @@ def main():
     run = jax.jit(sampler_chunk)
     noise = jnp.asarray(rng.standard_normal((B, K, C, H, H)), jnp.float32)
     key = jax.random.PRNGKey(1)
-    run(noise, key).block_until_ready()  # compile + warmup launch
+    # np.asarray is a REAL fence; block_until_ready has been observed to
+    # return while a remote compile is still in flight on tunneled runtimes,
+    # leaking warmup execution into the timed region (one such run measured
+    # 36.7 ms/step vs 26.8 fenced). The final fetch is ~8 MB — noise
+    # relative to the ~26 s scan.
+    np.asarray(run(noise, key))  # compile + warmup launch, fenced
 
     t0 = time.perf_counter()
-    run(noise, jax.random.fold_in(key, 1)).block_until_ready()
+    out = np.asarray(run(noise, jax.random.fold_in(key, 1)))
     elapsed = time.perf_counter() - t0
+    assert np.isfinite(out).all()
 
     sec_per_call = elapsed / N_STEPS
     frames_per_sec = B * K / sec_per_call
