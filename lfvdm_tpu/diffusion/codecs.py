@@ -90,6 +90,69 @@ class VAECodec:
         return self.vae.decode_video(video, chunk_size=self.chunk_size)
 
 
+def make_codec_from_config(config: dict, *, vae_weights: Optional[str] = None,
+                           require_vae: bool = False):
+    """Build the codec a checkpoint's embedded config implies.
+
+    Used by eval-time entry points (scripts/video_sample.py) so that "eval
+    needs only a checkpoint path" extends to latent-space checkpoints: the
+    sampled video is decoded to pixels before being written, matching the
+    reference's in-loop decode (gaussian_diffusion.py:932-947 driven by
+    scripts/video_sample.py:72-79 — here once on the assembled video).
+
+    Normalization stats resolve from, in order: config-embedded
+    ``enc_stats_mean``/``enc_stats_std`` lists (written by video_train.py),
+    then the dataset registry's stats file. ``vae_weights`` (or
+    $LFVDM_VAE_WEIGHTS) names the ``<prefix>_{encoder,decoder}.npz`` pair
+    from scripts/convert_svd_vae.py; without it the decode stops at
+    de-normalized latents unless ``require_vae`` forces a (random-init,
+    shape-correct) VAE.
+    """
+    import os
+
+    space = config.get("diffusion_space", "pixel")
+    if space in (None, "pixel"):
+        return PixelCodec()
+    if space != "latent":
+        return make_codec(space)  # wavelet -> NotImplementedError, as upstream
+
+    vae = None
+    vae_weights = vae_weights or os.environ.get("LFVDM_VAE_WEIGHTS")
+    if vae_weights:
+        from ..models.vae import load_svd_vae
+
+        vae = load_svd_vae(vae_weights)
+    elif require_vae:
+        from ..models.vae import SVDVae
+
+        vae = SVDVae()  # random init — shape-correct protocol, garbage pixels
+
+    if config.get("pre_encoded"):
+        stats = None
+        if config.get("enc_stats_mean") is not None:
+            stats = {"mean": np.asarray(config["enc_stats_mean"], np.float32),
+                     "std": np.asarray(config["enc_stats_std"], np.float32)}
+        else:
+            from ..data.datasets import data_encoding_stats_dict
+
+            stats_path = data_encoding_stats_dict.get(config.get("dataset"))
+            if stats_path and os.path.exists(stats_path):
+                import torch
+
+                raw = torch.load(stats_path, map_location="cpu", weights_only=False)
+                stats = {"mean": raw["mean"].numpy(), "std": raw["std"].numpy()}
+        if stats is None:
+            print("warning: latent norm stats unavailable; decoding with identity stats")
+            C = int(config.get("in_channels", 4))
+            stats = {"mean": np.zeros(C, np.float32), "std": np.ones(C, np.float32)}
+        return PreEncodedLatentCodec(mean=stats["mean"], std=stats["std"], vae=vae)
+    assert vae is not None, (
+        "non-pre-encoded latent checkpoint needs VAE weights "
+        "(--vae_weights / $LFVDM_VAE_WEIGHTS; see scripts/convert_svd_vae.py)"
+    )
+    return VAECodec(vae=vae)
+
+
 def make_codec(diffusion_space: str, *, pre_encoded: bool = False,
                pre_encoded_stats: Optional[dict] = None, vae=None, chunk_size: int = 10):
     """Config-level codec factory (mirrors diffusion_space_kwargs wiring)."""

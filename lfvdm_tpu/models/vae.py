@@ -252,3 +252,24 @@ class SVDVae:
         x = jnp.concatenate(outs, axis=0)
         H, W = x.shape[1:3]
         return x.transpose(0, 3, 1, 2).reshape(B, T, 3, H, W)
+
+
+def _unflatten(flat: dict) -> dict:
+    tree = {}
+    for key, value in flat.items():
+        node = tree
+        parts = key.split("/")
+        for part in parts[:-1]:
+            node = node.setdefault(part, {})
+        node[parts[-1]] = jnp.asarray(value)
+    return tree
+
+
+def load_svd_vae(path_prefix: str, **kwargs) -> "SVDVae":
+    """Load an SVDVae from the ``<prefix>_{encoder,decoder}.npz`` pair
+    written by scripts/convert_svd_vae.py."""
+    enc = np.load(f"{path_prefix}_encoder.npz")
+    dec = np.load(f"{path_prefix}_decoder.npz")
+    variables = ({"params": _unflatten(dict(enc))["params"]},
+                 {"params": _unflatten(dict(dec))["params"]})
+    return SVDVae(variables=variables, **kwargs)

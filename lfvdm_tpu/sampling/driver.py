@@ -42,10 +42,15 @@ class VideoSampler:
         use_ddim: bool = False,
         eta: float = 0.0,
         encoder_reuse: int = 1,
+        codec=None,
     ):
         self.model = model
         self.diffusion = diffusion
         self.params = params
+        # Decodes the fully assembled video once at the end of sample_video
+        # (latent -> pixel; reference decodes in-loop,
+        # gaussian_diffusion.py:932-947). None = return diffusion space.
+        self.codec = codec
         self.clip_denoised = clip_denoised
         self.use_ddim = use_ddim
         self.eta = eta
@@ -107,6 +112,10 @@ class VideoSampler:
     def sample_window_attn(self, x0, frame_indices, obs_mask, latent_mask, rng):
         """``sample_window`` that also returns the reference's per-quartile
         attention heatmaps (gaussian_diffusion.py:448-469). Ancestral only."""
+        assert not self.use_ddim, (
+            "sample_window_attn runs the ancestral sampler; it cannot honor "
+            "use_ddim=True — sample without attention weights instead"
+        )
         shape = tuple(x0.shape)
         cache_key = ("attn",) + shape
         if cache_key not in self._compiled:
@@ -142,9 +151,11 @@ class VideoSampler:
     ):
         """Generate a full video given its first ``n_obs`` frames.
 
-        ``batch``: (B, T, C, H, W) ground-truth videos (only the first n_obs
-        frames are consumed unless ``just_get_indices``). Returns
-        (samples (B, T, C, H, W) numpy, indices_used list).
+        ``batch``: (B, T, C, H, W) ground-truth videos in DIFFUSION space
+        (only the first n_obs frames are consumed unless
+        ``just_get_indices``). Returns (samples numpy, indices_used list);
+        when a codec is attached the assembled video is decoded once at the
+        end, so samples are pixel-space (B, T, 3, H', W').
         """
         B, T, C, H, W = batch.shape
         samples = np.zeros_like(batch)
@@ -190,4 +201,6 @@ class VideoSampler:
             for b in range(B):
                 samples[b, latent_idx[b]] = local[b, -n_latent:]
             indices_used.append((obs_idx, latent_idx))
+        if self.codec is not None and not just_get_indices:
+            samples = np.asarray(self.codec.decode(samples))
         return samples, indices_used

@@ -18,6 +18,7 @@ import os
 from typing import Any, Dict, Optional
 
 import jax
+import numpy as np
 import orbax.checkpoint as ocp
 
 
@@ -80,6 +81,52 @@ def load_checkpoint_raw(ckpt_dir: str, step: Optional[int] = None):
         with open(cfg_path) as f:
             config = json.load(f)
     return state, step, config
+
+
+def load_ema_params(ckpt_dir: str, step: Optional[int] = None,
+                    rate: Optional[str] = None):
+    """Restore ONLY one EMA param tree (params if no EMA was saved).
+
+    Eval entry points need a single weight copy, not the full train state
+    (params + Adam moments + every EMA rate ≈ 5x params of host memory) —
+    the reference loads exactly one ``ema_<rate>_<step>.pt`` file
+    (video_sample.py:205-207). Orbax partial restore reads only the
+    requested subtree's array files. Returns (params, rate_or_None, step,
+    config).
+    """
+    ckpt_dir = os.path.abspath(ckpt_dir)
+    if step is None:
+        step = find_latest_step(ckpt_dir)
+        if step is None:
+            raise FileNotFoundError(f"no checkpoints under {ckpt_dir}")
+    path = os.path.join(ckpt_dir, str(step))
+    with ocp.PyTreeCheckpointer() as ckptr:
+        meta = ckptr.metadata(path).item_metadata.tree
+        ema_rates = sorted(meta.get("ema", {}).keys()) if "ema" in meta else []
+        if ema_rates:
+            rate = str(rate) if rate is not None else ema_rates[-1]
+            assert rate in ema_rates, f"EMA rate {rate} not in checkpoint ({ema_rates})"
+            target, picked = {"ema": {rate: meta["ema"][rate]}}, rate
+        else:
+            target, picked = {"params": meta["params"]}, None
+        # Restore as host numpy — the saved sharding metadata names devices
+        # of the TRAINING topology, which eval hosts need not have; jit
+        # device_puts the params on first use anyway.
+        restore_args = jax.tree.map(
+            lambda m: ocp.RestoreArgs(restore_type=np.ndarray), target
+        )
+        restored = ckptr.restore(
+            path, args=ocp.args.PyTreeRestore(
+                item=target, restore_args=restore_args, partial_restore=True
+            )
+        )
+    params = restored["ema"][picked] if picked is not None else restored["params"]
+    config = {}
+    cfg_path = os.path.join(ckpt_dir, "config.json")
+    if os.path.exists(cfg_path):
+        with open(cfg_path) as f:
+            config = json.load(f)
+    return params, picked, step, config
 
 
 def load_config(ckpt_dir: str) -> Dict:

@@ -45,20 +45,11 @@ def load_model_from_checkpoint(path: str, use_ddim: bool, timestep_respacing: st
     elif os.path.isdir(path) and ckpt_lib.find_latest_step(path) is not None:
         # Orbax training run dir: latest step's EMA params (highest rate) —
         # the reference's "eval needs only a checkpoint path" workflow
-        # (video_sample.py:205-213) straight from a training run.
-        # NOTE: load_checkpoint_raw restores the WHOLE train state (params +
-        # Adam moments + every EMA copy, ~5x params host memory). Fine at
-        # this model scale; billions of params would want an orbax partial
-        # restore of state["ema"][rate] only.
-        state, step, config = ckpt_lib.load_checkpoint_raw(path)
-        ema = state.get("ema") or {}
-        if ema:
-            rate = sorted(ema.keys())[-1]
-            params = ema[rate]
-            print(f"loaded EMA({rate}) params at step {step} from {path}")
-        else:
-            params = state["params"]
-            print(f"loaded raw params at step {step} from {path}")
+        # (video_sample.py:205-213) straight from a training run. Partial
+        # restore: only the one EMA tree is read, not the ~5x train state.
+        params, rate, step, config = ckpt_lib.load_ema_params(path)
+        which = f"EMA({rate})" if rate is not None else "raw"
+        print(f"loaded {which} params at step {step} from {path}")
     else:
         raise SystemExit(
             "pass a reference .pt checkpoint, a params .msgpack exported by "
@@ -126,6 +117,11 @@ def main():
                         help="run the U-Net encoder every k-th diffusion step and "
                              "reuse cached skip features between (training-free "
                              "acceleration, arXiv:2312.09608; approximate)")
+    parser.add_argument("--vae_weights", type=str, default=None,
+                        help="prefix of the converted SVD-VAE npz pair "
+                             "(scripts/convert_svd_vae.py); defaults to "
+                             "$LFVDM_VAE_WEIGHTS. Needed for pixel decode of "
+                             "latent-space checkpoints")
     args = parser.parse_args()
 
     from lfvdm_tpu.config import enable_compilation_cache
@@ -149,8 +145,20 @@ def main():
     dataset = get_test_dataset(dataset_name, T=args.T)
     args.T = dataset.T if dataset.T is not None else args.T
 
+    # Latent checkpoints sample in latent space; the codec decodes the
+    # assembled video to pixels before the uint8 save (the "L" in LFVDM —
+    # reference gaussian_diffusion.py:932-947 + video_sample.py:72-85).
+    from lfvdm_tpu.diffusion.codecs import make_codec_from_config
+
+    codec = make_codec_from_config({**config, "dataset": dataset_name},
+                                   vae_weights=args.vae_weights)
+    if getattr(codec, "diffusion_space", "pixel") == "latent" and getattr(codec, "vae", None) is None:
+        print("warning: no VAE weights — samples will be de-normalized latents, "
+              "not pixels (pass --vae_weights)")
+
     sampler = VideoSampler(model, diffusion, params, clip_denoised=args.clip_denoised,
-                           use_ddim=args.use_ddim, encoder_reuse=args.encoder_reuse)
+                           use_ddim=args.use_ddim, encoder_reuse=args.encoder_reuse,
+                           codec=codec)
 
     optimal_schedule = None
     if args.optimality is not None:

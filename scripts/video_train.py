@@ -104,6 +104,12 @@ def main():
     elif args.diffusion_space == "pixel":
         args.in_channels = 3 if args.dataset != "synthetic" else 3
 
+    if stats is not None:
+        # Embed the latent norm stats in the run config so eval-time codec
+        # construction (make_codec_from_config) needs only the checkpoint.
+        args.enc_stats_mean = [float(v) for v in np.asarray(stats["mean"]).reshape(-1)]
+        args.enc_stats_std = [float(v) for v in np.asarray(stats["std"]).reshape(-1)]
+
     config = vars(args)
     model, diffusion = create_model_and_diffusion(config)
     codec = make_codec(args.diffusion_space, pre_encoded=args.pre_encoded,

@@ -165,6 +165,66 @@ def test_attention_quartile_maps():
     assert np.asarray(attns["attn/q0-spatial"]).shape == (B, 256, 256)
 
 
+def test_latent_codec_decodes_assembled_video(sampler):
+    """A latent-space sampler decodes the ASSEMBLED video once at the end
+    (reference decodes in-loop: gaussian_diffusion.py:932-947; driver
+    docstring promises the end-of-video decode). With a stub VAE the decode
+    is exactly de-normalize -> vae.decode, pixel-shaped output."""
+    from lfvdm_tpu.diffusion.codecs import PreEncodedLatentCodec
+
+    mean = np.asarray([0.5, -0.25], np.float32)
+    std = np.asarray([2.0, 0.5], np.float32)
+
+    class StubVAE:
+        """Latent (B,T,C,h,w) -> 'pixels' (B,T,3,8h,8w), recordably."""
+
+        def decode(self, video):
+            video = np.asarray(video)
+            up = np.repeat(np.repeat(video, 8, axis=-2), 8, axis=-1)
+            return np.concatenate([up, up[:, :, :1]], axis=2)[:, :, :3]
+
+    codec = PreEncodedLatentCodec(mean=mean, std=std, vae=StubVAE())
+    latent_sampler = VideoSampler(sampler.model, sampler.diffusion,
+                                  sampler.params, codec=codec)
+    rng = np.random.default_rng(11)
+    batch = rng.standard_normal((B, T, C, H, W)).astype(np.float32)
+    samples, _ = latent_sampler.sample_video(
+        batch, scheme_name="autoreg", n_obs=4, max_frames=4, step_size=2,
+        rng=jax.random.PRNGKey(12),
+    )
+    assert samples.shape == (B, T, 3, H * 8, W * 8)
+    assert np.isfinite(samples).all()
+    # Observed frames pass through the buffer untouched, so their decode is
+    # exactly denorm(batch) -> stub upsample: pin channel 0 numerically.
+    expected_c0 = batch[:, :4, 0] * std[0] + mean[0]
+    np.testing.assert_allclose(samples[:, :4, 0, ::8, ::8], expected_c0, rtol=1e-5)
+    # just_get_indices must NOT decode (index planning stays in latent space)
+    raw, _ = latent_sampler.sample_video(
+        batch, scheme_name="autoreg", n_obs=4, max_frames=4, step_size=2,
+        rng=jax.random.PRNGKey(12), just_get_indices=True,
+    )
+    assert raw.shape == batch.shape
+
+
+def test_latent_codec_without_vae_denormalizes(sampler):
+    """No VAE weights -> decode stops at de-normalized latents (same shape),
+    still applied to the assembled video."""
+    from lfvdm_tpu.diffusion.codecs import PreEncodedLatentCodec
+
+    mean = np.zeros(C, np.float32) + 3.0
+    std = np.ones(C, np.float32)
+    codec = PreEncodedLatentCodec(mean=mean, std=std)
+    latent_sampler = VideoSampler(sampler.model, sampler.diffusion,
+                                  sampler.params, codec=codec)
+    batch = np.random.default_rng(13).standard_normal((B, 8, C, H, W)).astype(np.float32)
+    samples, _ = latent_sampler.sample_video(
+        batch, scheme_name="autoreg", n_obs=4, max_frames=4, step_size=2,
+        rng=jax.random.PRNGKey(14),
+    )
+    assert samples.shape == batch.shape
+    np.testing.assert_allclose(samples[:, :4], batch[:, :4] + 3.0, rtol=1e-5)
+
+
 def test_encoder_reuse_sampler(sampler):
     """Training-free encoder propagation (arXiv:2312.09608): k=2 runs the
     encoder every other step inside one compiled scan. Same seed as the

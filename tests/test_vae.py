@@ -49,3 +49,26 @@ def test_codec_roundtrip_pre_encoded():
     decoded = np.asarray(codec.decode(jnp.asarray(z)))
     expected = z * stats["std"].reshape(1, 1, 4, 1, 1) + stats["mean"].reshape(1, 1, 4, 1, 1)
     np.testing.assert_allclose(decoded, expected, rtol=1e-6)
+
+
+def test_load_svd_vae_npz_roundtrip(vae, tmp_path):
+    """The converter's flatten() npz format round-trips through
+    load_svd_vae: identical decode outputs (pins the on-disk layout the
+    offline torch->Flax conversion writes)."""
+    import sys
+
+    sys.path.insert(0, "/root/repo/scripts")
+    from convert_svd_vae import flatten
+
+    from lfvdm_tpu.models.vae import load_svd_vae
+
+    prefix = str(tmp_path / "svd_vae")
+    np.savez(f"{prefix}_encoder.npz",
+             **{k: np.asarray(v) for k, v in flatten(vae.enc_vars).items()})
+    np.savez(f"{prefix}_decoder.npz",
+             **{k: np.asarray(v) for k, v in flatten(vae.dec_vars).items()})
+    loaded = load_svd_vae(prefix)
+    assert loaded.pretrained
+    z = np.random.default_rng(5).standard_normal((1, 2, 4, 8, 8)).astype(np.float32)
+    np.testing.assert_allclose(np.asarray(loaded.decode_video(z)),
+                               np.asarray(vae.decode_video(z)), rtol=1e-6)
