@@ -147,6 +147,23 @@ def create_model_and_diffusion(config: Dict[str, Any]):
     return model, diffusion
 
 
+def apply_platform_env():
+    """Honor $LFVDM_PLATFORM (e.g. "cpu") at the jax.config level.
+
+    Some hosting environments pre-register an accelerator platform and pin
+    ``jax_platforms`` in config, which silently overrides the JAX_PLATFORMS
+    env var; the config-level update wins. Call early in every CLI entry
+    point (before the first backend touch) so debug/CI runs can force CPU.
+    """
+    import os
+
+    import jax
+
+    platform = os.environ.get("LFVDM_PLATFORM")
+    if platform:
+        jax.config.update("jax_platforms", platform)
+
+
 def enable_compilation_cache(path: str = None):
     """Enable JAX's persistent compilation cache (opt-in).
 

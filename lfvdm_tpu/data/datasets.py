@@ -100,6 +100,11 @@ class BaseVideoDataset:
     def set_test(self):
         self.is_test = True
 
+    def native_paths(self) -> Optional[list]:
+        """Per-video .npy paths for the native C++ loader, or None when this
+        dataset can't be streamed natively (non-.npy storage)."""
+        return None
+
     def get_video_subsequence(self, video: np.ndarray, T: Optional[int]) -> np.ndarray:
         if T is None or T >= len(video):
             return video
@@ -132,6 +137,16 @@ class CarlaDataset(BaseVideoDataset):
     def postprocess_video(self, video):
         return -1 + 2 * (video.transpose(0, 3, 1, 2).astype(np.float32) / 255)
 
+    def native_paths(self):
+        # The flagship .pt layout needs full-file torch deserialization per
+        # item; datasets/carla/convert_pt_to_npy.py writes .npy siblings that
+        # the C++ loader streams with O(window) partial reads. Auto-detected
+        # when every video has one.
+        paths = [self.getitem_path(i).with_suffix(".npy") for i in range(len(self))]
+        if paths and all(p.exists() for p in paths):
+            return [str(p) for p in paths]
+        return None
+
 
 class Carla2xDataset(CarlaDataset):
     """2x nearest-upsampled CARLA, or its pre-encoded SVD-VAE latents."""
@@ -154,6 +169,9 @@ class NpyPerVideoDataset(BaseVideoDataset):
 
     def getitem_path(self, idx):
         return self.path / f"{idx}.npy"
+
+    def native_paths(self):
+        return [str(self.getitem_path(i)) for i in range(len(self))]
 
     def loaditem(self, path):
         return np.load(path)
@@ -249,13 +267,15 @@ def load_data(dataset_name, batch_size, T=None, deterministic=False,
 
 
 def _batch_generator(dataset, batch_size, T, deterministic, num_prefetch, seed):
-    # Fast path: .npy-per-video datasets stream through the native C++
-    # loader (worker pool + partial window reads, lfvdm_tpu/native/); the
+    # Fast path: datasets exposing per-video .npy paths stream through the
+    # native C++ loader (worker pool + partial window reads, lfvdm_tpu/
+    # native/). Covers MineRL/mazes natively and CARLA once
+    # datasets/carla/convert_pt_to_npy.py has produced .npy siblings. The
     # Python thread below is the fallback and the path for .pt/synthetic.
-    if isinstance(dataset, NpyPerVideoDataset):
+    paths = dataset.native_paths() if hasattr(dataset, "native_paths") else None
+    if paths:
         from .native_loader import native_loader_available, NativeVideoLoader
 
-        paths = [str(dataset.getitem_path(i)) for i in range(len(dataset))]
         native = None
         native_enabled = os.environ.get("LFVDM_NATIVE_LOADER", "1") != "0"
         if paths and native_enabled and native_loader_available():

@@ -463,9 +463,10 @@ class GaussianDiffusion:
                 if s_l != s_target:
                     assert s_target % s_l == 0, (s_target, s_l)
                     r = s_target // s_l
-                    up = jnp.repeat(jnp.repeat(a, r, axis=-2), r, axis=-1)
-                    # renormalize like the reference: keep the layer's mean
-                    a = up / up.mean() * a.mean()
+                    # repeat-upsampling preserves the mean exactly, so the
+                    # reference's post-interpolate renormalization
+                    # (up/up.mean()*a.mean()) is an identity here — omitted.
+                    a = jnp.repeat(jnp.repeat(a, r, axis=-2), r, axis=-1)
                 acc = acc + a
             return acc
 

@@ -41,7 +41,7 @@ def global_norm(tree) -> jnp.ndarray:
     return jnp.sqrt(sum(jnp.sum(jnp.square(x)) for x in jax.tree.leaves(tree)))
 
 
-def local_numpy(v):
+def local_numpy(v, accum: bool = False):
     """Host-fetch a metric array: the full value single-process, this
     process's own batch rows on multi-host meshes.
 
@@ -50,11 +50,23 @@ def local_numpy(v):
     rows this process fed (put_batch_array), so they line up with the local
     t/weights for quartile logging; the logger's process_allgather reduction
     recombines across hosts.
+
+    ``accum=True``: the array carries a leading microbatch axis (n, mb, …)
+    whose BATCH axis is axis 1 (data_sharding accum_axis rule; the train
+    step deliberately does not merge the axes in-jit, because the merged
+    axis's sharding would be GSPMD-chosen and the addressable rows would no
+    longer line up with this process's t/weights). Fetched per-axis-1
+    shards, then flattened row-major to match t_np's original order.
     """
+    axis = 1 if accum else 0
     if isinstance(v, jax.Array) and not (v.is_fully_addressable or v.is_fully_replicated):
-        shards = sorted(v.addressable_shards, key=lambda s: s.index[0].start or 0)
-        return np.concatenate([np.asarray(s.data) for s in shards], axis=0)
-    return np.asarray(v)
+        shards = sorted(v.addressable_shards, key=lambda s: s.index[axis].start or 0)
+        out = np.concatenate([np.asarray(s.data) for s in shards], axis=axis)
+    else:
+        out = np.asarray(v)
+    if accum and out.ndim >= 2:
+        out = out.reshape((out.shape[0] * out.shape[1],) + out.shape[2:])
+    return out
 
 
 def make_optimizer(lr: float, weight_decay: float, lr_anneal_steps: int = 0):
@@ -160,8 +172,9 @@ def make_train_step(
                 body, zero_grads, (jnp.arange(n_microbatches), batch, t, weights)
             )
             loss = losses.sum()  # what the accumulated gradient is the gradient of
-            # (n, mb, ...) -> (n*mb, ...) so logging sees one flat batch.
-            terms = jax.tree.map(lambda x: x.reshape((-1,) + x.shape[2:]), terms)
+            # terms keep their (n, mb, ...) shape: merging the axes in-jit
+            # would hand the merged axis an arbitrary GSPMD sharding, breaking
+            # the local-rows contract of local_numpy(accum=True) on pods.
 
         grad_norm = global_norm(grads)
         finite = jnp.isfinite(grad_norm)
@@ -288,11 +301,15 @@ class TrainLoop:
         self.mesh = mesh if mesh is not None else make_mesh(fsdp=fsdp)
         # Each microbatch chunk must still cover the mesh's data shards
         # (checked on the RESOLVED mesh, after the make_mesh fallback).
+        # batch_size is PER-PROCESS (load_data shards by process), while the
+        # mesh spans all jax.devices() — so the GLOBAL chunk rows
+        # (local chunk × process_count) are what the mesh divides.
         mesh_data_shards = int(np.prod(list(self.mesh.shape.values())))
-        if self.n_microbatches > 1 and (batch_size // self.n_microbatches) % mesh_data_shards:
+        global_chunk = (batch_size // self.n_microbatches) * jax.process_count()
+        if self.n_microbatches > 1 and global_chunk % mesh_data_shards:
             raise ValueError(
-                f"microbatch={microbatch} leaves {batch_size // self.n_microbatches} "
-                f"rows per chunk, not divisible by the mesh's {mesh_data_shards} data "
+                f"microbatch={microbatch} leaves {global_chunk} global rows per "
+                f"chunk, not divisible by the mesh's {mesh_data_shards} data "
                 "shards — raise microbatch or shrink the mesh"
             )
         self.host_rng = np.random.default_rng(seed + jax.process_index())
@@ -389,7 +406,12 @@ class TrainLoop:
             # Loss-aware sampling needs this step's losses on the host NOW;
             # otherwise metric fetches are deferred to the log flush so the
             # step loop never blocks on device->host transfers.
-            self.schedule_sampler.update_with_local_losses(t_np, local_numpy(metrics["loss"]))
+            losses_np = local_numpy(metrics["loss"], accum=accum)
+            assert len(losses_np) == len(t_np), (
+                f"per-example loss rows ({len(losses_np)}) do not line up with "
+                f"local timesteps ({len(t_np)}) — sharding/fetch mismatch"
+            )
+            self.schedule_sampler.update_with_local_losses(t_np, losses_np)
 
         self._pending.append((self.step, t_np, w_np, metrics, time.time() - t0))
         if len(self._pending) >= self.log_interval:
@@ -403,9 +425,14 @@ class TrainLoop:
         # (which ends in the blocking np.asarray fetches below) is.
         window = time.time() - self._window_start
         logger.logkv_mean("timing/step_time", window / len(self._pending))
+        accum = self.n_microbatches > 1
         for step, t_np, w_np, metrics, dispatch_time in self._pending:
-            losses = {k: local_numpy(v) for k, v in metrics.items()
+            losses = {k: local_numpy(v, accum=accum) for k, v in metrics.items()
                       if k in ("loss", "mse", "vb", "eval-mse")}
+            for k, v in losses.items():
+                assert len(v) == len(t_np), (
+                    f"metric {k!r} rows ({len(v)}) != local timesteps ({len(t_np)})"
+                )
             log_loss_dict(self.diffusion, t_np, losses, w_np)
             logger.logkv_mean("grad_norm", float(local_numpy(metrics["grad_norm"])))
             if float(local_numpy(metrics["skipped_nonfinite"])):

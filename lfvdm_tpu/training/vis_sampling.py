@@ -17,6 +17,23 @@ from ..utils.video_io import mark_as_observed, tensor2gif
 from .masks import sample_all_masks, prepare_training_batch
 
 
+def gather_params_to_host(mesh, params):
+    """Fetch a (possibly fsdp-sharded) param tree to host numpy.
+
+    One jitted identity with fully-replicated out_shardings — XLA emits the
+    all-gather over ICI/DCN; every process enters the same collective
+    (symmetric, so it cannot deadlock a pod), then reads the now-replicated
+    value locally. The multi-host replacement for the reference's rank-0
+    model access in log_samples (train_util.py:428-475).
+    """
+    from jax.sharding import NamedSharding, PartitionSpec
+
+    replicate = jax.jit(
+        lambda p: p, out_shardings=NamedSharding(mesh, PartitionSpec())
+    )
+    return jax.tree.map(np.asarray, replicate(params))
+
+
 def make_vis_masks(B: int, T: int, max_frames: int):
     """Deterministic vis masks: row 0 contiguous prefix, row 1 strided."""
     n_obs = max_frames // 3
@@ -43,23 +60,25 @@ def make_sample_fn(vis_batch: np.ndarray, *, ema_rate: str = None, out_dir: str 
     samplers = {}  # rate -> VideoSampler, kept across calls so the compiled
     # sampler is reused every sample_interval (params are a jit argument).
 
-    warned = []
-
     def sample_fn(loop):
-        if jax.process_count() > 1:
-            # EMA params live on the GLOBAL mesh; a process-0-only jit over
-            # them either fails device-compatibility or deadlocks the other
-            # processes in a collective. Until vis sampling gathers params
-            # host-local, skip symmetrically on pods (a no-op on every
-            # process cannot deadlock).
-            if not warned and jax.process_index() == 0:
-                warned.append(True)
-                print("vis sampling skipped: multi-host run (params are mesh-global)")
-            return
-        from ..sampling.driver import VideoSampler
-
         rate = ema_rate or sorted(loop.state["ema"].keys())[-1]
         ema_params = loop.state["ema"][rate]
+        if jax.process_count() > 1:
+            # EMA params live on the GLOBAL mesh; a process-0-only jit over
+            # them would deadlock the other processes in a collective.
+            # Instead: every process enters one symmetric all-gather
+            # (gather_params_to_host), then only process 0 samples — on its
+            # own local device, with host params, no cross-host collectives.
+            # The final sync is the reference's dist.barrier()
+            # (train_util.py:475).
+            from jax.experimental import multihost_utils
+
+            ema_params = gather_params_to_host(loop.mesh, ema_params)
+            if jax.process_index() != 0:
+                multihost_utils.sync_global_devices("vis_sampling_done")
+                return
+        from ..sampling.driver import VideoSampler
+
         if rate not in samplers:
             samplers[rate] = VideoSampler(loop.model, loop.diffusion, ema_params)
         sampler = samplers[rate]
@@ -106,5 +125,10 @@ def make_sample_fn(vis_batch: np.ndarray, *, ema_rate: str = None, out_dir: str 
                     safe = tag.replace("/", "_")
                     np.save(f"{out_dir}/step{loop.step:06d}_{safe}.npy",
                             np.asarray(arr))
+
+        if jax.process_count() > 1:
+            from jax.experimental import multihost_utils
+
+            multihost_utils.sync_global_devices("vis_sampling_done")
 
     return sample_fn

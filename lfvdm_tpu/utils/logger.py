@@ -53,6 +53,10 @@ class Logger:
             os.makedirs(log_dir, exist_ok=True)
             self._jsonl_path = os.path.join(log_dir, "metrics.jsonl")
         if use_wandb:
+            import jax
+
+            if jax.process_index() != 0:
+                return  # rank-0-only wandb, like the reference (video_train.py:32-35)
             try:
                 import wandb
 

@@ -72,6 +72,9 @@ def batches(dataset, batch_size, rng, shuffle=True):
 
 
 def main():
+    from lfvdm_tpu.config import apply_platform_env
+
+    apply_platform_env()  # $LFVDM_PLATFORM=cpu forces CPU (config-level)
     parser = argparse.ArgumentParser()
     parser.add_argument("--is_classifier", type=str2bool, default=False)
     parser.add_argument("--data_dir", type=str, required=True)

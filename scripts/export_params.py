@@ -21,6 +21,9 @@ from lfvdm_tpu.training.train_loop import init_train_state, make_optimizer
 
 
 def main():
+    from lfvdm_tpu.config import apply_platform_env
+
+    apply_platform_env()  # $LFVDM_PLATFORM=cpu forces CPU (config-level)
     parser = argparse.ArgumentParser()
     parser.add_argument("ckpt_dir", type=str)
     parser.add_argument("--step", type=int, default=None)

@@ -33,6 +33,9 @@ from lfvdm_tpu.training import checkpoint as ckpt_lib
 
 
 def main():
+    from lfvdm_tpu.config import apply_platform_env
+
+    apply_platform_env()  # $LFVDM_PLATFORM=cpu forces CPU (config-level)
     defaults = dict(
         checkpoint_dir="",
         random_init=False,

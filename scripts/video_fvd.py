@@ -73,6 +73,9 @@ def compute_fvd(eval_dir: Path, dataset_name: str, num_videos: int, sample_idx: 
 
 
 def main():
+    from lfvdm_tpu.config import apply_platform_env
+
+    apply_platform_env()  # $LFVDM_PLATFORM=cpu forces CPU (config-level)
     parser = argparse.ArgumentParser()
     parser.add_argument("--eval_dir", required=True, type=str)
     parser.add_argument("--num_videos", type=int, default=100)

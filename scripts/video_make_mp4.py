@@ -19,6 +19,9 @@ from lfvdm_tpu.utils.video_io import assemble_grid, mark_as_observed, tensor2gif
 
 
 def main():
+    from lfvdm_tpu.config import apply_platform_env
+
+    apply_platform_env()  # $LFVDM_PLATFORM=cpu forces CPU (config-level)
     parser = argparse.ArgumentParser()
     parser.add_argument("--eval_dir", required=True, type=str)
     parser.add_argument("--dataset", type=str, default="synthetic")

@@ -93,6 +93,9 @@ def visualise(args, indices_used):
 
 
 def main():
+    from lfvdm_tpu.config import apply_platform_env
+
+    apply_platform_env()  # $LFVDM_PLATFORM=cpu forces CPU (config-level)
     parser = argparse.ArgumentParser()
     parser.add_argument("checkpoint_path", type=str)
     parser.add_argument("--sampling_scheme", required=True, choices=sampling_schemes.keys())

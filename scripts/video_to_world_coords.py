@@ -20,6 +20,9 @@ from lfvdm_tpu.evals.carla_regressor import load_classifier_regressor_like_paper
 
 
 def main():
+    from lfvdm_tpu.config import apply_platform_env
+
+    apply_platform_env()  # $LFVDM_PLATFORM=cpu forces CPU (config-level)
     parser = argparse.ArgumentParser()
     parser.add_argument("--eval_dir", type=str, default=None,
                         help="Samples directory (reads samples/*.npy).")

@@ -65,6 +65,8 @@ def create_argparser():
         fsdp=1,
         max_steps=0,
         use_wandb=False,
+        resume_id="",  # resume the run with this id (wandb run id == ckpt dir key)
+        unobserve=False,  # wandb dryrun mode (reference video_train.py:25-29)
         profile_dir="",  # capture a jax.profiler device trace around step 10
         log_attn=False,  # save per-quartile attention heatmaps at vis sampling
         compilation_cache_dir="",  # persistent XLA compile cache (big TPU win)
@@ -75,10 +77,39 @@ def create_argparser():
     return parser
 
 
+def resolve_run_identity(args) -> str:
+    """Run-id-keyed checkpoint dirs + resume, the reference's workflow.
+
+    ``--resume_id <id>`` resumes run <id> (checkpoint dir checkpoints/<id>,
+    wandb resume under the same id — train_util.py:501-505,
+    video_train.py:32-48). A fresh run generates an id; the DEFAULT
+    checkpoint_dir is keyed by it, an explicit --checkpoint_dir wins.
+    """
+    import uuid
+
+    default_dir = create_argparser().get_default("checkpoint_dir")
+    if args.resume_id:
+        run_id = args.resume_id
+        args.resume = True
+        if args.checkpoint_dir == default_dir:
+            args.checkpoint_dir = os.path.join("checkpoints", run_id)
+    else:
+        run_id = uuid.uuid4().hex[:8]
+        if args.checkpoint_dir == default_dir:
+            args.checkpoint_dir = os.path.join("checkpoints", run_id)
+    return run_id
+
+
 def main():
+    from lfvdm_tpu.config import apply_platform_env
+
+    apply_platform_env()  # $LFVDM_PLATFORM=cpu forces CPU (config-level)
     args = create_argparser().parse_args()
     enable_compilation_cache(args.compilation_cache_dir or None)
     setup_distributed()
+    run_id = resolve_run_identity(args)
+    if args.unobserve:
+        os.environ["WANDB_MODE"] = "dryrun"
 
     # Dataset-derived config (video_train.py:73-91). None-default argparse
     # flags parse as strings (add_dict_to_argparser types by default value),
@@ -115,7 +146,18 @@ def main():
     codec = make_codec(args.diffusion_space, pre_encoded=args.pre_encoded,
                        pre_encoded_stats=stats)
 
-    logger.configure(log_dir=args.checkpoint_dir, use_wandb=args.use_wandb)
+    logger.configure(
+        log_dir=args.checkpoint_dir, use_wandb=args.use_wandb,
+        wandb_kwargs=dict(
+            id=run_id, resume="allow",
+            entity=os.environ.get("WANDB_ENTITY"),
+            project=os.environ.get("WANDB_PROJECT", "video-diffusion"),
+            config={k: v for k, v in config.items()
+                    if isinstance(v, (str, int, float, bool, type(None)))},
+        ),
+    )
+    logger.logkv("num_nodes", int(os.environ.get("SLURM_JOB_NUM_NODES", 1)),
+                 distributed=False)
     data = load_data(args.dataset, batch_size=args.batch_size, T=args.T, seed=args.seed)
 
     sample_fn = None

@@ -140,3 +140,49 @@ def test_vl_open_rejects_too_short_videos(tmp_path):
     paths = _write_videos(tmp_path, n=2, T=4)
     with pytest.raises(RuntimeError):
         NativeVideoLoader(paths, T=64, batch_size=1)
+
+
+@needs_native
+def test_carla_pt_auto_uses_converted_npy(tmp_path, monkeypatch):
+    """A CARLA .pt dir with convert_pt_to_npy.py siblings streams through
+    the native loader with CarlaDataset's normalization (VERDICT r1 #7)."""
+    import sys
+
+    import torch
+
+    import lfvdm_tpu.data.datasets as D
+
+    carla = tmp_path / "no-traffic"
+    carla.mkdir()
+    rng = np.random.default_rng(0)
+    names = []
+    for i in range(4):
+        vid = rng.integers(0, 256, (10 + i, 8, 8, 3), dtype=np.uint8)
+        name = f"video_{i:05d}.pt"
+        torch.save(torch.from_numpy(vid), carla / name)
+        names.append(name)
+    with open(carla / "video_train.csv", "w") as f:
+        f.write("\n".join(f"videos/{n}" for n in names))
+
+    monkeypatch.setitem(D.video_data_paths_dict, "carla_no_traffic", str(carla))
+    monkeypatch.setitem(D.default_T_dict, "carla_no_traffic", 6)
+
+    # without .npy siblings: no native paths
+    ds = D.load_data("carla_no_traffic", batch_size=2, T=6, return_dataset=True)
+    assert ds.native_paths() is None
+
+    sys.path.insert(0, "/root/repo/datasets/carla")
+    import convert_pt_to_npy
+
+    monkeypatch.setattr(sys, "argv", ["x", "--src", str(carla)])
+    convert_pt_to_npy.main()
+    assert ds.native_paths() is not None and len(ds.native_paths()) == 4
+
+    gen = D.load_data("carla_no_traffic", batch_size=2, T=6, deterministic=True, seed=0)
+    batch = next(gen)
+    assert batch.shape == (2, 6, 3, 8, 8) and batch.dtype == np.float32
+    video = np.load(carla / "video_00000.npy").astype(np.float32) / 255.0
+    video = 2 * video.transpose(0, 3, 1, 2) - 1
+    found = any(np.allclose(batch[0], video[s:s + 6], atol=1e-6)
+                for s in range(len(video) - 5))
+    assert found, "native CARLA batch item is not a normalized window of video 0"

@@ -155,8 +155,15 @@ def test_microbatch_accumulation_semantics(tmp_path):
     )
     for g, e in zip(jax.tree.leaves(got), jax.tree.leaves(expected_grads)):
         np.testing.assert_allclose(g, np.asarray(e), rtol=2e-4, atol=5e-6)
-    # per-element metrics flattened back to (n*mb,)
-    assert np.asarray(metrics["loss"]).shape == (n * mb,)
+    # per-element metrics keep (n, mb) in-jit (merging would let GSPMD pick
+    # an arbitrary sharding for the merged axis on pods); the host-side
+    # fetch flattens row-major so rows line up with t.reshape(-1)'s order
+    from lfvdm_tpu.training.train_loop import local_numpy
+
+    assert np.asarray(metrics["loss"]).shape == (n, mb)
+    flat = local_numpy(metrics["loss"], accum=True)
+    assert flat.shape == (n * mb,)
+    np.testing.assert_array_equal(flat, np.asarray(metrics["loss"]).reshape(-1))
 
 
 def test_microbatch_trainloop_runs(tmp_path):
