@@ -106,3 +106,33 @@ def test_lpips_embedder_distance_properties():
     d_same = ((ea - ea) ** 2).sum()
     d_diff = ((ea - eb) ** 2).sum()
     assert d_same == 0 and d_diff > 0
+
+
+def test_fvd_protocol_end_to_end(tmp_path, monkeypatch):
+    """The full sample-files -> paired-batches -> I3D features -> Fréchet
+    pipeline of scripts/video_fvd.py runs green and is ~0 when the samples
+    ARE the test set (pins the protocol; reference video_fvd.py:34-85)."""
+    import sys
+
+    sys.path.insert(0, "/root/repo/scripts")
+    from video_fvd import compute_fvd
+
+    import lfvdm_tpu.data.datasets as D
+
+    T, H = 6, 32
+    test_ds = D.SyntheticVideoDataset(num_videos=4, T=T, C=3, H=H, W=H)
+    test_ds.set_test()
+    monkeypatch.setattr(D, "get_test_dataset", lambda name, T=None: test_ds)
+    monkeypatch.setattr(sys.modules["video_fvd"], "get_test_dataset",
+                        lambda name, T=None: test_ds)
+
+    samples_dir = tmp_path / "samples"
+    samples_dir.mkdir()
+    for i in range(4):
+        vid = ((np.asarray(test_ds[i]) + 1) / 2 * 255).clip(0, 255).astype(np.uint8)
+        np.save(samples_dir / f"sample_{i:04d}-0.npy", vid)
+
+    score = compute_fvd(tmp_path, "synthetic", num_videos=4, sample_idx=0, T=T)
+    assert np.isfinite(score)
+    # identical distributions -> tiny FVD (numerical noise only)
+    assert score < 1.0, score
