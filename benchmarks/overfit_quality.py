@@ -40,11 +40,17 @@ def main():
     ap.add_argument("--compute_dtype", default="bfloat16")
     ap.add_argument("--encoder_reuse", type=int, default=1,
                     help="sample with training-free encoder propagation every k steps")
+    ap.add_argument("--diffusion_steps", type=int, default=64,
+                    help="1000 + linear = the flagship schedule; encoder reuse "
+                         "is designed for long schedules where adjacent steps "
+                         "are nearly identical (arXiv:2312.09608)")
+    ap.add_argument("--noise_schedule", default="cosine",
+                    help="use 'linear' with --diffusion_steps 1000")
     args = ap.parse_args()
 
     cfg = dict(image_size=32, in_channels=3, num_channels=64, num_res_blocks=1,
-               attention_resolutions="16,8", diffusion_steps=64,
-               noise_schedule="cosine", compute_dtype=args.compute_dtype)
+               attention_resolutions="16,8", diffusion_steps=args.diffusion_steps,
+               noise_schedule=args.noise_schedule, compute_dtype=args.compute_dtype)
     model, diffusion = create_model_and_diffusion(cfg)
     T = 24
     video = SyntheticVideoDataset(num_videos=1, T=T, C=3, H=32, W=32, seed=5)[0]

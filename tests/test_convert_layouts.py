@@ -13,6 +13,8 @@ import numpy as np
 import pytest
 import torch
 
+pytestmark = pytest.mark.slow  # compile-heavy / oracle tier
+
 import jax
 import jax.numpy as jnp
 from flax import linen as nn

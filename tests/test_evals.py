@@ -3,6 +3,8 @@
 import numpy as np
 import pytest
 
+pytestmark = pytest.mark.slow  # compile-heavy / oracle tier
+
 from lfvdm_tpu.evals.fvd import frechet_distance, kid, preprocess_videos
 from lfvdm_tpu.utils.logger import Logger
 from lfvdm_tpu.utils.paths import get_eval_run_identifier, get_model_results_path

@@ -12,6 +12,8 @@ import numpy as np
 import pytest
 import torch
 
+pytestmark = pytest.mark.slow  # compile-heavy / oracle tier
+
 from lfvdm_tpu.models.nn import GroupNorm32, timestep_embedding
 
 

@@ -12,6 +12,8 @@ import jax.numpy as jnp
 import numpy as np
 import pytest
 
+pytestmark = pytest.mark.slow  # compile-heavy / oracle tier
+
 from lfvdm_tpu.ops.attention import (
     spatial_attention,
     spatial_attention_reference,

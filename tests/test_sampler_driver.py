@@ -4,6 +4,8 @@ import jax
 import numpy as np
 import pytest
 
+pytestmark = pytest.mark.slow  # compile-heavy / oracle tier
+
 from lfvdm_tpu.config import create_model_and_diffusion
 from lfvdm_tpu.sampling.driver import VideoSampler
 

@@ -2,6 +2,9 @@
 
 import jax
 import numpy as np
+import pytest
+
+pytestmark = pytest.mark.slow  # compile-heavy / oracle tier
 
 from lfvdm_tpu import serving
 from lfvdm_tpu.config import create_model_and_diffusion

@@ -6,6 +6,8 @@ import jax
 import numpy as np
 import pytest
 
+pytestmark = pytest.mark.slow  # compile-heavy / oracle tier
+
 from lfvdm_tpu.config import create_model_and_diffusion
 from lfvdm_tpu.parallel.mesh import make_mesh
 from lfvdm_tpu.training.train_loop import TrainLoop

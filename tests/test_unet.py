@@ -5,6 +5,8 @@ import jax.numpy as jnp
 import numpy as np
 import pytest
 
+pytestmark = pytest.mark.slow  # compile-heavy / oracle tier
+
 from lfvdm_tpu.config import create_model, create_model_and_diffusion
 
 CFG = dict(image_size=32, in_channels=4, num_channels=32, num_res_blocks=1,

@@ -14,6 +14,8 @@ def vae():
     return SVDVae(image_size=64)
 
 
+pytestmark = pytest.mark.slow  # compile-heavy / oracle tier
+
 def test_encode_decode_shapes(vae):
     rng = np.random.default_rng(0)
     video = rng.uniform(-1, 1, (1, 3, 3, 64, 64)).astype(np.float32)
