@@ -154,3 +154,31 @@ def torch_style_bias_init_for(fan_in: int):
         return jax.random.uniform(key, shape, dtype, minval=-bound, maxval=bound)
 
     return init
+
+
+def torch_default_conv(features: int, kernel_size, in_features: int, *,
+                       strides=None, padding="SAME", dtype=jnp.float32,
+                       name=None) -> nn.Conv:
+    """Conv with torch's default init (the reference's conv_nd regime), so
+    trained-parameter statistics match the reference's initialization.
+    ``in_features`` is the input channel count (bias fan-in needs it)."""
+    fan_in = in_features
+    for k in kernel_size:
+        fan_in *= k
+    return nn.Conv(
+        features, kernel_size, strides=strides, padding=padding,
+        kernel_init=torch_style_conv_init,
+        bias_init=torch_style_bias_init_for(fan_in),
+        dtype=dtype, name=name,
+    )
+
+
+def torch_default_dense(features: int, in_features: int, *, dtype=jnp.float32,
+                        name=None) -> nn.Dense:
+    """Dense with torch's nn.Linear default init."""
+    return nn.Dense(
+        features,
+        kernel_init=torch_style_conv_init,
+        bias_init=torch_style_bias_init_for(in_features),
+        dtype=dtype, name=name,
+    )

@@ -34,7 +34,7 @@ from ..ops.attention import (
     spatial_attention,
     temporal_rpe_attention,
 )
-from .nn import GroupNorm32, zero_init_dense
+from .nn import GroupNorm32, torch_default_dense, zero_init_dense
 
 
 class RPENet(nn.Module):
@@ -63,10 +63,12 @@ class RPENet(nn.Module):
             axis=-1,
         ).astype(self.dtype)  # (B, T, T, 3)
         emb = (
-            nn.Dense(self.channels, dtype=self.dtype, name="embed_diffusion_time")(temb)[
+            torch_default_dense(self.channels, temb.shape[-1], dtype=self.dtype,
+                                name="embed_diffusion_time")(temb)[
                 :, :, None, :
             ]
-            + nn.Dense(self.channels, dtype=self.dtype, name="embed_distances")(distance_embs)
+            + torch_default_dense(self.channels, 3, dtype=self.dtype,
+                                  name="embed_distances")(distance_embs)
         )  # (B, T, T, C)
         out = zero_init_dense(self.channels, dtype=self.dtype, name="out")(nn.silu(emb))
         return out.reshape(B, T, T, self.num_heads, self.channels // self.num_heads)
@@ -151,7 +153,7 @@ class RPEAttention(nn.Module):
         scale = F**-0.5
 
         h = GroupNorm32(name="norm")(x.reshape(B * D, T, C)).reshape(B, D, T, C)
-        qkv = nn.Dense(3 * C, dtype=self.dtype, name="qkv")(h)
+        qkv = torch_default_dense(3 * C, C, dtype=self.dtype, name="qkv")(h)
         qkv = qkv.reshape(B, D, T, 3, H, F)
         q, k, v = (
             jnp.moveaxis(qkv[:, :, :, i], -2, 2) for i in range(3)

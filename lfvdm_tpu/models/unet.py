@@ -28,7 +28,8 @@ from typing import Optional, Tuple
 import jax.numpy as jnp
 from flax import linen as nn
 
-from .nn import GroupNorm32, timestep_embedding, zero_init_conv
+from .nn import (GroupNorm32, timestep_embedding, torch_default_conv,
+                 torch_default_dense, zero_init_conv)
 from .rpe import RPEAttention
 
 
@@ -48,10 +49,12 @@ class ResBlock(nn.Module):
         in_ch = x.shape[-1]
         h = GroupNorm32(name="in_norm")(x)
         h = nn.silu(h)
-        h = nn.Conv(self.out_channels, (3, 3), padding="SAME", dtype=self.dtype, name="in_conv")(h)
+        h = torch_default_conv(self.out_channels, (3, 3), in_ch,
+                               dtype=self.dtype, name="in_conv")(h)
 
-        emb_out = nn.Dense(
+        emb_out = torch_default_dense(
             2 * self.out_channels if self.use_scale_shift_norm else self.out_channels,
+            emb.shape[-1],
             dtype=self.dtype,
             name="emb_proj",
         )(nn.silu(emb))  # (N, C') ; broadcast over H, W
@@ -73,9 +76,11 @@ class ResBlock(nn.Module):
         if self.out_channels == in_ch:
             skip = x
         elif self.use_conv:
-            skip = nn.Conv(self.out_channels, (3, 3), padding="SAME", dtype=self.dtype, name="skip_conv")(x)
+            skip = torch_default_conv(self.out_channels, (3, 3), in_ch,
+                                      dtype=self.dtype, name="skip_conv")(x)
         else:
-            skip = nn.Conv(self.out_channels, (1, 1), dtype=self.dtype, name="skip_conv")(x)
+            skip = torch_default_conv(self.out_channels, (1, 1), in_ch,
+                                      dtype=self.dtype, name="skip_conv")(x)
         return skip + h
 
 
@@ -88,9 +93,9 @@ class Downsample(nn.Module):
     @nn.compact
     def __call__(self, x):
         if self.use_conv:
-            return nn.Conv(
-                x.shape[-1], (3, 3), strides=(2, 2), padding=((1, 1), (1, 1)),
-                dtype=self.dtype, name="conv",
+            return torch_default_conv(
+                x.shape[-1], (3, 3), x.shape[-1], strides=(2, 2),
+                padding=((1, 1), (1, 1)), dtype=self.dtype, name="conv",
             )(x)
         return nn.avg_pool(x, (2, 2), strides=(2, 2))
 
@@ -106,7 +111,7 @@ class Upsample(nn.Module):
         N, H, W, C = x.shape
         x = jnp.repeat(jnp.repeat(x, 2, axis=1), 2, axis=2)
         if self.use_conv:
-            x = nn.Conv(C, (3, 3), padding="SAME", dtype=self.dtype, name="conv")(x)
+            x = torch_default_conv(C, (3, 3), C, dtype=self.dtype, name="conv")(x)
         return x
 
 
@@ -227,8 +232,10 @@ class UNetVideoModel(nn.Module):
         # Timestep embedding MLP (per frame).
         ted = self.model_channels * 4
         emb = timestep_embedding(timesteps.reshape(B * T), self.model_channels)
-        emb = nn.Dense(ted, dtype=self.dtype, name="time_embed_1")(emb.astype(self.dtype))
-        emb = nn.Dense(ted, dtype=self.dtype, name="time_embed_2")(nn.silu(emb))
+        emb = torch_default_dense(ted, self.model_channels, dtype=self.dtype,
+                                  name="time_embed_1")(emb.astype(self.dtype))
+        emb = torch_default_dense(ted, ted, dtype=self.dtype,
+                                  name="time_embed_2")(nn.silu(emb))
         temb_bt = emb.reshape(B, T, ted)  # for RPENet
 
         res_block_cls = nn.remat(ResBlock) if self.use_remat else ResBlock
@@ -256,7 +263,8 @@ class UNetVideoModel(nn.Module):
         if features is None:
             # --- Down path ---
             ch = self.model_channels
-            h = nn.Conv(ch, (3, 3), padding="SAME", dtype=self.dtype, name="stem")(h)
+            h = torch_default_conv(ch, (3, 3), h.shape[-1], dtype=self.dtype,
+                                   name="stem")(h)
             hs = [h]
             ds = 1
             for level, mult in enumerate(self.channel_mult):
