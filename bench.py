@@ -103,6 +103,7 @@ def main():
     baseline_frames_per_sec = B * K / baseline_sec_per_call if flops_per_call > 0 else float("nan")
     vs_baseline = frames_per_sec / baseline_frames_per_sec if baseline_frames_per_sec > 0 else 0.0
 
+    achieved_tflops = flops_per_call / sec_per_call / 1e12
     print(json.dumps({
         "metric": "unet_frames_per_sec_per_chip",
         "value": round(frames_per_sec, 2),
@@ -111,8 +112,12 @@ def main():
         "sampler_1000step_wallclock_s": round(sampler_1000_wallclock, 2),
         "sec_per_model_call": round(sec_per_call, 5),
         "flops_per_call": flops_per_call,
+        "achieved_tflops": round(achieved_tflops, 1),
+        "mfu_vs_v5e_bf16_peak": round(achieved_tflops / 197.0, 3),
         "device": str(jax.devices()[0]),
         "config": "carla pixel 128px ch128 res1 K20 B2 bf16",
+        "note": "B=2 is the measured throughput optimum (bench_batch_sweep.py: "
+                "B4/B8 lose to VMEM pressure); ceiling analysis in BASELINE.md",
     }))
 
 
