@@ -38,8 +38,9 @@ def main():
     ap.add_argument("--steps", type=int, default=6000)
     ap.add_argument("--threshold", type=float, default=20.0)
     ap.add_argument("--compute_dtype", default="bfloat16")
-    ap.add_argument("--encoder_reuse", type=int, default=1,
-                    help="sample with training-free encoder propagation every k steps")
+    ap.add_argument("--encoder_reuse", type=str, default="1",
+                    help="comma list of k values; the model trains ONCE and each "
+                         "k samples with encoder propagation every k steps")
     ap.add_argument("--diffusion_steps", type=int, default=64,
                     help="1000 + linear = the flagship schedule; encoder reuse "
                          "is designed for long schedules where adjacent steps "
@@ -65,26 +66,31 @@ def main():
                      checkpoint_dir="/tmp/lfvdm_overfit_quality", config=cfg)
     loop.run_loop(max_steps=args.steps)
 
-    sampler = VideoSampler(model, diffusion, loop.state["params"],
-                           encoder_reuse=args.encoder_reuse)
-    samples, _ = sampler.sample_video(np.stack([video]), scheme_name="autoreg",
-                                      n_obs=4, max_frames=5, step_size=2,
-                                      rng=jax.random.PRNGKey(0))
     gt = ((video + 1) / 2 * 255).clip(0, 255).astype(np.uint8)
-    s = ((samples[0] + 1) / 2 * 255).clip(0, 255).astype(np.uint8)
-    err = [float(np.abs(s[i].astype(int) - gt[i].astype(int)).mean()) for i in range(T)]
-    gen_err = float(np.mean(err[4:]))
-    ok = gen_err < args.threshold and max(err[:4]) == 0.0
-    print(json.dumps({
-        "metric": "overfit_gen_err_uint8",
-        "encoder_reuse": args.encoder_reuse,
-        "value": round(gen_err, 2),
-        "threshold": args.threshold,
-        "obs_frames_exact": max(err[:4]) == 0.0,
-        "per_frame_err": [round(e, 1) for e in err],
-        "pass": ok,
-    }))
-    sys.exit(0 if ok else 1)
+    all_ok = True
+    for k in (int(v) for v in str(args.encoder_reuse).split(",")):
+        sampler = VideoSampler(model, diffusion, loop.state["params"],
+                               encoder_reuse=k)
+        samples, _ = sampler.sample_video(np.stack([video]), scheme_name="autoreg",
+                                          n_obs=4, max_frames=5, step_size=2,
+                                          rng=jax.random.PRNGKey(0))
+        s = ((samples[0] + 1) / 2 * 255).clip(0, 255).astype(np.uint8)
+        err = [float(np.abs(s[i].astype(int) - gt[i].astype(int)).mean())
+               for i in range(T)]
+        gen_err = float(np.mean(err[4:]))
+        ok = gen_err < args.threshold and max(err[:4]) == 0.0
+        all_ok = all_ok and ok
+        print(json.dumps({
+            "metric": "overfit_gen_err_uint8",
+            "diffusion_steps": args.diffusion_steps,
+            "encoder_reuse": k,
+            "value": round(gen_err, 2),
+            "threshold": args.threshold,
+            "obs_frames_exact": max(err[:4]) == 0.0,
+            "per_frame_err": [round(e, 1) for e in err],
+            "pass": ok,
+        }), flush=True)
+    sys.exit(0 if all_ok else 1)
 
 
 if __name__ == "__main__":
