@@ -32,23 +32,29 @@ def run(B=1, K=10):
     kw = dict(x0=x, frame_indices=fi, obs_mask=obs, latent_mask=1.0 - obs)
     params = jax.jit(model.init)(jax.random.PRNGKey(0), x, t, **kw)
 
+    # The kernel policy keys on LFVDM_PALLAS_{TEMPORAL,SPATIAL} (rpe.py);
+    # measure einsum, spatial-kernel-only, and both-kernels explicitly.
     results = {}
-    for label, env in [("pallas_auto", "auto"), ("einsum", "0")]:
-        os.environ["LFVDM_PALLAS"] = env
+    variants = [
+        ("einsum", {"LFVDM_PALLAS_SPATIAL": "0", "LFVDM_PALLAS_TEMPORAL": "0"}),
+        ("pallas_spatial", {"LFVDM_PALLAS_SPATIAL": "1", "LFVDM_PALLAS_TEMPORAL": "0"}),
+        ("pallas_both", {"LFVDM_PALLAS_SPATIAL": "1", "LFVDM_PALLAS_TEMPORAL": "1"}),
+    ]
+    for label, env in variants:
+        os.environ.update(env)
         fwd = jax.jit(lambda p, x, t: model.apply(p, x, t, **kw)[0])
-        out = fwd(params, x, t)
-        jax.block_until_ready(out)
+        np.asarray(fwd(params, x, t))  # compile + warmup, fenced
         times = []
         for _ in range(8):
             t0 = time.perf_counter()
-            jax.block_until_ready(fwd(params, x, t))
+            np.asarray(fwd(params, x, t))
             times.append(time.perf_counter() - t0)
         results[label] = sorted(times)[len(times) // 2]
     print(json.dumps({
         "metric": "unet256_ms_per_forward",
-        "pallas_auto_ms": round(results["pallas_auto"] * 1e3, 2),
-        "einsum_ms": round(results["einsum"] * 1e3, 2),
-        "speedup": round(results["einsum"] / results["pallas_auto"], 3),
+        **{f"{k}_ms": round(v * 1e3, 2) for k, v in results.items()},
+        "spatial_speedup": round(results["einsum"] / results["pallas_spatial"], 3),
+        "both_speedup": round(results["einsum"] / results["pallas_both"], 3),
         "config": f"256px ch128 res1 K{K} B{B} bf16",
         "device": str(jax.devices()[0]),
     }))
