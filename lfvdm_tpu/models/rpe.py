@@ -182,8 +182,11 @@ class RPEAttention(nn.Module):
         if use_pallas is None:
             # Measured policy (benchmarks/microbench_attention.py +
             # bench_256px.py, v5e): XLA's fused attention wins or ties the
-            # Pallas kernels in every full-model config measured (the
-            # temporal kernel's 1.17x standalone win at 1024 sites is eaten
+            # Pallas kernels in every full-model config measured — including
+            # the spatial kernel's motivating 256px/1024-token shape
+            # (einsum 369.9 ms/fwd vs 414.2 spatial-kernel, 0.89x; round-2
+            # re-measure with the policy flags correctly toggled) and the
+            # temporal kernel's 1.17x standalone win at 1024 sites (eaten
             # by its layout transposes in-model, 0.99x). Default OFF; the
             # kernels stay available via LFVDM_PALLAS_{TEMPORAL,SPATIAL}=1
             # or the use_pallas field for shapes where they pay.

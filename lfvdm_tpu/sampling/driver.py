@@ -112,9 +112,10 @@ class VideoSampler:
     def sample_window_attn(self, x0, frame_indices, obs_mask, latent_mask, rng):
         """``sample_window`` that also returns the reference's per-quartile
         attention heatmaps (gaussian_diffusion.py:448-469). Ancestral only."""
-        assert not self.use_ddim, (
-            "sample_window_attn runs the ancestral sampler; it cannot honor "
-            "use_ddim=True — sample without attention weights instead"
+        assert not self.use_ddim and self.encoder_reuse == 1, (
+            "sample_window_attn runs the exact ancestral sampler; it cannot "
+            "honor use_ddim=True or encoder_reuse>1 — sample without "
+            "attention weights instead"
         )
         shape = tuple(x0.shape)
         cache_key = ("attn",) + shape
