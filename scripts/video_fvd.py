@@ -48,12 +48,26 @@ def to_uint8_thwc(video: np.ndarray, from_unit_range: bool) -> np.ndarray:
     return np.asarray(video, np.uint8).transpose(0, 2, 3, 1)
 
 
+def real_dataset_name(dataset_name: str) -> str:
+    """Dataset whose videos provide the REAL-side I3D features.
+
+    Latent-space checkpoints sample latents that video_sample.py decodes to
+    pixels, so '<x>_encoded' pairs against the '<x>' pixel dataset (same T).
+    The reference would pair pixels against 4-channel latents here —
+    get_test_dataset('..._encoded') returns encoded videos its FVD
+    preprocess cannot consume; that path is broken/unused upstream
+    (/root/reference/scripts/video_fvd.py:113-118 + video_datasets.py:94-95).
+    """
+    suffix = "_encoded"
+    return dataset_name[: -len(suffix)] if dataset_name.endswith(suffix) else dataset_name
+
+
 def compute_fvd(eval_dir: Path, dataset_name: str, num_videos: int, sample_idx: int,
                 T: int, i3d_weights=None) -> float:
     batch_size = BATCH_SIZES.get(dataset_name, 8)
     fvd = FVD(i3d_weights=i3d_weights, batch_size=batch_size)
     samples = SampleDataset(eval_dir / "samples", sample_idx, num_videos)
-    test_set = get_test_dataset(dataset_name, T=T)
+    test_set = get_test_dataset(real_dataset_name(dataset_name), T=T)
 
     fake_feats, real_feats = [], []
     for start in range(0, num_videos, batch_size):

@@ -138,3 +138,16 @@ def test_fvd_protocol_end_to_end(tmp_path, monkeypatch):
     assert np.isfinite(score)
     # identical distributions -> tiny FVD (numerical noise only)
     assert score < 1.0, score
+
+
+def test_fvd_real_side_dataset_mapping():
+    """Latent checkpoints decode samples to pixels, so the REAL features
+    come from the pixel dataset; pixel datasets map to themselves."""
+    import sys
+
+    sys.path.insert(0, "/root/repo/scripts")
+    from video_fvd import real_dataset_name
+
+    assert real_dataset_name("carla_no_traffic_2x_encoded") == "carla_no_traffic_2x"
+    assert real_dataset_name("carla_no_traffic") == "carla_no_traffic"
+    assert real_dataset_name("synthetic") == "synthetic"
