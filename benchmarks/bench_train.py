@@ -27,13 +27,21 @@ def main():
     ap.add_argument("--verbose", action="store_true")
     ap.add_argument("--blocking", action="store_true",
                     help="block + fetch metrics every step (latency mode)")
+    ap.add_argument("--image_size", type=int, default=128)
+    ap.add_argument("--batch", type=int, default=2)
+    ap.add_argument("--frames", type=int, default=20)
+    ap.add_argument("--use_checkpoint", action="store_true",
+                    help="remat ResBlocks/attention (required to fit 256px on "
+                         "16 GB v5e HBM)")
     args = ap.parse_args()
 
-    cfg = dict(image_size=128, in_channels=3, num_channels=128, num_res_blocks=1,
-               attention_resolutions="16,8", diffusion_steps=1000,
-               compute_dtype="bfloat16")
+    cfg = dict(image_size=args.image_size, in_channels=3, num_channels=128,
+               num_res_blocks=1, attention_resolutions="16,8",
+               diffusion_steps=1000, compute_dtype="bfloat16",
+               use_checkpoint=args.use_checkpoint)
     model, diffusion = create_model_and_diffusion(cfg)
-    B, K, C, H = 2, 20, 3, 128  # reference README.md:54-57 training shape
+    # default = reference README.md:54-57 training shape (128px B2 K20)
+    B, K, C, H = args.batch, args.frames, 3, args.image_size
     rng = np.random.default_rng(0)
     x0 = jnp.asarray(rng.standard_normal((B, K, C, H, H)), jnp.float32)
     fi = jnp.asarray(np.sort(rng.integers(0, 300, (B, K)), axis=1), jnp.int32)
@@ -95,7 +103,8 @@ def main():
         "unit": "frames/s",
         "sec_per_step": round(dt, 5),
         "device": str(jax.devices()[0]),
-        "config": "carla pixel 128px ch128 res1 K20 B2 bf16",
+        "config": f"carla pixel {H}px ch128 res1 K{K} B{B} bf16"
+                  + (" remat" if args.use_checkpoint else ""),
     }))
 
 

@@ -56,6 +56,25 @@ data_encoding_stats_dict = {
 }
 
 
+def load_encoding_stats(dataset_name: str):
+    """Channel-wise latent norm stats for a pre-encoded dataset, or None.
+
+    Resolves the registry path under DATA_ROOT like every other dataset
+    path. Single source for video_train.py (training-time normalization +
+    config embedding) and codecs.make_codec_from_config (eval-time decode).
+    """
+    rel = data_encoding_stats_dict.get(dataset_name)
+    if not rel:
+        return None
+    path = _data_root_path(rel)
+    if not os.path.exists(path):
+        return None
+    import torch
+
+    raw = torch.load(path, map_location="cpu", weights_only=False)
+    return {"mean": raw["mean"].numpy(), "std": raw["std"].numpy()}
+
+
 class BaseVideoDataset:
     """One file per video; optional DATA_ROOT scratch-dir caching."""
 

@@ -133,14 +133,9 @@ def make_codec_from_config(config: dict, *, vae_weights: Optional[str] = None,
             stats = {"mean": np.asarray(config["enc_stats_mean"], np.float32),
                      "std": np.asarray(config["enc_stats_std"], np.float32)}
         else:
-            from ..data.datasets import data_encoding_stats_dict
+            from ..data.datasets import load_encoding_stats
 
-            stats_path = data_encoding_stats_dict.get(config.get("dataset"))
-            if stats_path and os.path.exists(stats_path):
-                import torch
-
-                raw = torch.load(stats_path, map_location="cpu", weights_only=False)
-                stats = {"mean": raw["mean"].numpy(), "std": raw["std"].numpy()}
+            stats = load_encoding_stats(config.get("dataset"))
         if stats is None:
             print("warning: latent norm stats unavailable; decoding with identity stats")
             C = int(config.get("in_channels", 4))

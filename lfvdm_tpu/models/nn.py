@@ -139,11 +139,15 @@ def torch_style_conv_init(key, shape, dtype=jnp.float32):
     Kept so trained-parameter statistics match the reference's
     initialization regime (matters for training-dynamics parity).
     ``shape`` is flax's (kh, kw, in, out) for conv or (in, out) for dense.
+
+    torch's reset_parameters: gain = sqrt(2/(1+a²)) = sqrt(1/3) with
+    a = √5; std = gain/√fan_in; bound = √3·std — which collapses to
+    exactly 1/√fan_in.
     """
     fan_in = 1
     for d in shape[:-1]:
         fan_in *= d
-    bound = math.sqrt(1.0 / fan_in) * math.sqrt(3.0)
+    bound = 1.0 / math.sqrt(fan_in)
     return jax.random.uniform(key, shape, dtype, minval=-bound, maxval=bound)
 
 

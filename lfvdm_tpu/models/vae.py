@@ -253,6 +253,14 @@ class SVDVae:
         H, W = x.shape[1:3]
         return x.transpose(0, 3, 1, 2).reshape(B, T, 3, H, W)
 
+    # Codec-facing aliases: PreEncodedLatentCodec calls ``vae.decode(video)``
+    # on the de-normalized latents (and VAECodec-like callers ``encode``).
+    def decode(self, video):
+        return self.decode_video(video)
+
+    def encode(self, video, rng=None):
+        return self.encode_video(video, rng=rng)
+
 
 def _unflatten(flat: dict) -> dict:
     tree = {}

@@ -17,21 +17,31 @@ from ..utils.video_io import mark_as_observed, tensor2gif
 from .masks import sample_all_masks, prepare_training_batch
 
 
-def gather_params_to_host(mesh, params):
-    """Fetch a (possibly fsdp-sharded) param tree to host numpy.
+_REPLICATE_CACHE = {}  # mesh -> jitted identity-with-replicated-out-shardings
+
+
+def gather_params_to_host(mesh, params, fetch: bool = True):
+    """All-gather a (possibly fsdp-sharded) param tree; fetch to host numpy.
 
     One jitted identity with fully-replicated out_shardings — XLA emits the
     all-gather over ICI/DCN; every process enters the same collective
-    (symmetric, so it cannot deadlock a pod), then reads the now-replicated
-    value locally. The multi-host replacement for the reference's rank-0
-    model access in log_samples (train_util.py:428-475).
+    (symmetric, so it cannot deadlock a pod). ``fetch=False`` returns after
+    the collective without the device->host copy (non-zero ranks only need
+    to participate). The jitted gather is cached per mesh so repeated vis
+    intervals don't re-trace. The multi-host replacement for the reference's
+    rank-0 model access in log_samples (train_util.py:428-475).
     """
     from jax.sharding import NamedSharding, PartitionSpec
 
-    replicate = jax.jit(
-        lambda p: p, out_shardings=NamedSharding(mesh, PartitionSpec())
-    )
-    return jax.tree.map(np.asarray, replicate(params))
+    if mesh not in _REPLICATE_CACHE:
+        _REPLICATE_CACHE[mesh] = jax.jit(
+            lambda p: p, out_shardings=NamedSharding(mesh, PartitionSpec())
+        )
+    replicated = _REPLICATE_CACHE[mesh](params)
+    if not fetch:
+        jax.block_until_ready(jax.tree.leaves(replicated)[0])
+        return None
+    return jax.tree.map(np.asarray, replicated)
 
 
 def make_vis_masks(B: int, T: int, max_frames: int):
@@ -73,10 +83,12 @@ def make_sample_fn(vis_batch: np.ndarray, *, ema_rate: str = None, out_dir: str 
             # (train_util.py:475).
             from jax.experimental import multihost_utils
 
-            ema_params = gather_params_to_host(loop.mesh, ema_params)
             if jax.process_index() != 0:
+                # Participate in the collective, skip the host copy.
+                gather_params_to_host(loop.mesh, ema_params, fetch=False)
                 multihost_utils.sync_global_devices("vis_sampling_done")
                 return
+            ema_params = gather_params_to_host(loop.mesh, ema_params)
         from ..sampling.driver import VideoSampler
 
         if rate not in samplers:

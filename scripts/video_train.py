@@ -31,10 +31,10 @@ from lfvdm_tpu.config import (
     str2bool,
 )
 from lfvdm_tpu.data.datasets import (
-    data_encoding_stats_dict,
     default_image_size_dict,
     default_T_dict,
     load_data,
+    load_encoding_stats,
 )
 from lfvdm_tpu.diffusion.codecs import make_codec
 from lfvdm_tpu.diffusion.resample import create_named_schedule_sampler
@@ -87,16 +87,26 @@ def resolve_run_identity(args) -> str:
     """
     import uuid
 
+    import jax
+
     default_dir = create_argparser().get_default("checkpoint_dir")
     if args.resume_id:
         run_id = args.resume_id
         args.resume = True
-        if args.checkpoint_dir == default_dir:
-            args.checkpoint_dir = os.path.join("checkpoints", run_id)
     else:
         run_id = uuid.uuid4().hex[:8]
-        if args.checkpoint_dir == default_dir:
-            args.checkpoint_dir = os.path.join("checkpoints", run_id)
+        if jax.process_count() > 1:
+            # Every process must agree on the run id (the orbax save is a
+            # collective keyed on the checkpoint path) — broadcast process
+            # 0's, like the reference broadcasts its wandb id.
+            from jax.experimental import multihost_utils
+            import numpy as np
+
+            raw = multihost_utils.broadcast_one_to_all(
+                np.frombuffer(run_id.encode(), np.uint8))
+            run_id = bytes(np.asarray(raw)).decode()
+    if args.checkpoint_dir == default_dir:
+        args.checkpoint_dir = os.path.join("checkpoints", run_id)
     return run_id
 
 
@@ -123,14 +133,10 @@ def main():
         args.diffusion_space = "latent"
         args.pre_encoded = True
         args.in_channels = 4
-        stats_path = data_encoding_stats_dict.get(args.dataset)
-        if stats_path and os.path.exists(stats_path):
-            import torch
-
-            raw = torch.load(stats_path, map_location="cpu", weights_only=False)
-            stats = {"mean": raw["mean"].numpy(), "std": raw["std"].numpy()}
-        else:
-            print(f"warning: norm stats not found at {stats_path}; using identity stats")
+        stats = load_encoding_stats(args.dataset)
+        if stats is None:
+            print(f"warning: norm stats not found for {args.dataset}; "
+                  "using identity stats")
             stats = {"mean": np.zeros(4, np.float32), "std": np.ones(4, np.float32)}
     elif args.diffusion_space == "pixel":
         args.in_channels = 3 if args.dataset != "synthetic" else 3

@@ -269,3 +269,21 @@ def test_lpips_alexnet_first_conv_matches_torch():
     feats = model.apply({"params": params}, jnp.asarray(x.transpose(0, 2, 3, 1)))
     got = np.asarray(feats[0]).transpose(0, 3, 1, 2)
     np.testing.assert_allclose(got, want, rtol=1e-4, atol=1e-5)
+
+
+def test_torch_default_init_matches_torch_bounds():
+    """torch_style_conv_init must match torch's kaiming_uniform(a=sqrt(5))
+    default: uniform in [-1/sqrt(fan_in), 1/sqrt(fan_in)] — NOT sqrt(3)x
+    wider (the reviewer-caught 3x-variance bug)."""
+    from lfvdm_tpu.models.nn import torch_style_conv_init
+
+    shape = (3, 3, 64, 128)  # conv: fan_in = 3*3*64 = 576
+    w = np.asarray(torch_style_conv_init(jax.random.PRNGKey(0), shape))
+    bound = 1.0 / np.sqrt(576)
+    assert np.abs(w).max() <= bound + 1e-7
+    # matches torch's empirical std for the same layer shape
+    tconv = torch.nn.Conv2d(64, 128, 3)
+    torch_std = float(tconv.weight.detach().std())
+    np.testing.assert_allclose(w.std(), torch_std, rtol=0.05)
+    # uniform, not clipped-normal: near-full support coverage
+    assert np.abs(w).max() > 0.95 * bound

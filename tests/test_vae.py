@@ -74,3 +74,32 @@ def test_load_svd_vae_npz_roundtrip(vae, tmp_path):
     z = np.random.default_rng(5).standard_normal((1, 2, 4, 8, 8)).astype(np.float32)
     np.testing.assert_allclose(np.asarray(loaded.decode_video(z)),
                                np.asarray(vae.decode_video(z)), rtol=1e-6)
+
+
+def test_make_codec_from_config_decodes_with_real_vae(vae, tmp_path, monkeypatch):
+    """The flagship latent-eval path: PreEncodedLatentCodec built by
+    make_codec_from_config with SVD-VAE weights must decode latents to
+    pixel-shaped output (regression: SVDVae lacked the codec-facing
+    .decode and the decode crashed AFTER the full sampling run)."""
+    import sys
+
+    sys.path.insert(0, "/root/repo/scripts")
+    from convert_svd_vae import flatten
+
+    from lfvdm_tpu.diffusion.codecs import make_codec_from_config
+
+    prefix = str(tmp_path / "svd_vae")
+    np.savez(f"{prefix}_encoder.npz",
+             **{k: np.asarray(v) for k, v in flatten(vae.enc_vars).items()})
+    np.savez(f"{prefix}_decoder.npz",
+             **{k: np.asarray(v) for k, v in flatten(vae.dec_vars).items()})
+
+    codec = make_codec_from_config(
+        {"diffusion_space": "latent", "pre_encoded": True,
+         "enc_stats_mean": [0.0] * 4, "enc_stats_std": [1.0] * 4},
+        vae_weights=prefix,
+    )
+    z = np.random.default_rng(7).standard_normal((1, 2, 4, 8, 8)).astype(np.float32)
+    out = np.asarray(codec.decode(z))
+    assert out.shape == (1, 2, 3, 64, 64)
+    assert np.isfinite(out).all()
