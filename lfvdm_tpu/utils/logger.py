@@ -19,23 +19,48 @@ import time
 from typing import Optional
 
 
+_GATHER_BUF_BYTES = 65536  # fixed allgather size; key sets may differ per rank
+
+
 def mpi_weighted_mean(local_name2valcount: dict) -> dict:
-    """Cross-process weighted mean of {name: (value, count)} dicts."""
+    """Cross-process weighted mean of {name: (value, count)} dicts.
+
+    Key sets may DIFFER across processes (the per-quartile loss KVs are
+    keyed by each process's own sampled timesteps — reference
+    log_loss_dict, train_util.py:530-536), so a fixed-key array allgather
+    would issue shape-mismatched collectives and crash the pod (gloo
+    "received data size doesn't match", caught by
+    tests/test_multiprocess_pod.py). Like the reference's MPI object
+    gather (logger.py:68-95), each process contributes its whole dict:
+    serialized to a fixed-size buffer, allgathered, merged host-side.
+    """
     import jax
 
     if jax.process_count() == 1:
         return {name: val for name, (val, _count) in local_name2valcount.items()}
+    import json as _json
+
     from jax.experimental import multihost_utils
     import numpy as np
 
-    names = sorted(local_name2valcount)
-    vals = np.array([float(local_name2valcount[n][0]) for n in names])
-    counts = np.array([float(local_name2valcount[n][1]) for n in names])
-    all_vals = np.asarray(multihost_utils.process_allgather(vals * counts))
-    all_counts = np.asarray(multihost_utils.process_allgather(counts))
-    total = all_vals.sum(axis=0)
-    total_counts = np.maximum(all_counts.sum(axis=0), 1e-12)
-    return dict(zip(names, (total / total_counts).tolist()))
+    payload = _json.dumps(local_name2valcount).encode()
+    assert len(payload) + 8 <= _GATHER_BUF_BYTES, (
+        f"metric dict too large to gather ({len(payload)} bytes)"
+    )
+    buf = np.zeros(_GATHER_BUF_BYTES, np.uint8)
+    buf[:8] = np.frombuffer(np.uint64(len(payload)).tobytes(), np.uint8)
+    buf[8:8 + len(payload)] = np.frombuffer(payload, np.uint8)
+    gathered = np.asarray(multihost_utils.process_allgather(buf))  # (P, BUF)
+
+    sums: dict = {}
+    counts: dict = {}
+    for row in gathered:
+        n = int(np.frombuffer(row[:8].tobytes(), np.uint64)[0])
+        d = _json.loads(row[8:8 + n].tobytes().decode())
+        for name, (val, count) in d.items():
+            sums[name] = sums.get(name, 0.0) + float(val) * float(count)
+            counts[name] = counts.get(name, 0.0) + float(count)
+    return {name: sums[name] / max(counts[name], 1e-12) for name in sums}
 
 
 class Logger:

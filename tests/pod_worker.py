@@ -1,0 +1,88 @@
+"""Worker process for the two-process pod integration test.
+
+Launched by tests/test_multiprocess_pod.py as:
+  python tests/pod_worker.py <coordinator> <num_processes> <process_id> <workdir>
+
+Runs jax.distributed over localhost gRPC with 2 virtual CPU devices per
+process (a 2-host x 2-chip "pod"), then drives the REAL multi-host code
+paths: per-process data sharding, make_array_from_process_local_data,
+cross-process metric reduction, the collective orbax save, and the pod vis
+sampling (all-gather -> process-0 sampling -> barrier).
+"""
+
+import json
+import os
+import sys
+
+
+def main():
+    coordinator, num_processes, process_id, workdir = sys.argv[1:5]
+    num_processes, process_id = int(num_processes), int(process_id)
+
+    os.environ["XLA_FLAGS"] = (
+        os.environ.get("XLA_FLAGS", "")
+        + " --xla_force_host_platform_device_count=2"
+    ).strip()
+    import jax
+
+    jax.config.update("jax_platforms", "cpu")
+    jax.distributed.initialize(
+        coordinator_address=coordinator,
+        num_processes=num_processes,
+        process_id=process_id,
+    )
+    assert jax.process_count() == num_processes
+    assert len(jax.devices()) == 2 * num_processes
+    assert len(jax.local_devices()) == 2
+
+    import numpy as np
+
+    sys.path.insert(0, os.path.join(os.path.dirname(__file__), ".."))
+    from lfvdm_tpu.config import create_model_and_diffusion
+    from lfvdm_tpu.parallel.mesh import make_mesh
+    from lfvdm_tpu.training.train_loop import TrainLoop
+    from lfvdm_tpu.training.vis_sampling import make_sample_fn
+
+    cfg = dict(image_size=32, in_channels=2, num_channels=32, num_res_blocks=1,
+               attention_resolutions="8", diffusion_steps=4,
+               noise_schedule="cosine", compute_dtype="float32")
+    model, diffusion = create_model_and_diffusion(cfg)
+    B_local, T, K = 2, 12, 4
+
+    def data():
+        rng = np.random.default_rng(process_id)  # per-process rows, like load_data
+        while True:
+            yield rng.standard_normal((B_local, T, 2, 32, 32)).astype(np.float32)
+
+    vis_batch = np.random.default_rng(0).standard_normal(
+        (2, T, 2, 32, 32)).astype(np.float32)
+    vis_dir = os.path.join(workdir, "vis")
+    loop = TrainLoop(
+        model=model, diffusion=diffusion, data=data(), batch_size=B_local,
+        max_frames=K, lr=1e-4, ema_rate="0.9999", log_interval=2,
+        save_interval=10**9, checkpoint_dir=os.path.join(workdir, "ckpt"),
+        config=cfg, mesh=make_mesh(fsdp=2), seed=0,
+        sample_fn=make_sample_fn(vis_batch, out_dir=vis_dir, seed=0),
+    )
+    for _ in range(2):
+        loop.run_step()
+        loop.step += 1
+    loop._flush_metrics()
+    from lfvdm_tpu.utils.logger import logger
+
+    flushed = logger.dumpkvs()
+    # Cross-process weighted-mean reduction ran (loss key present on all).
+    assert "loss" in flushed, flushed.keys()
+
+    # Pod vis sampling: all processes enter; only process 0 writes gifs.
+    loop.sample_fn(loop)
+
+    # Collective orbax save across both processes.
+    loop.save()
+
+    print(json.dumps({"process": process_id, "step": int(loop.step),
+                      "loss": float(flushed["loss"])}), flush=True)
+
+
+if __name__ == "__main__":
+    main()
