@@ -1,13 +1,17 @@
-"""Worker process for the two-process pod integration test.
+"""Worker process for the two-process pod integration tests.
 
 Launched by tests/test_multiprocess_pod.py as:
-  python tests/pod_worker.py <coordinator> <num_processes> <process_id> <workdir>
+  python tests/pod_worker.py <coordinator> <n_proc> <proc_id> <workdir> [scenario]
 
 Runs jax.distributed over localhost gRPC with 2 virtual CPU devices per
 process (a 2-host x 2-chip "pod"), then drives the REAL multi-host code
-paths: per-process data sharding, make_array_from_process_local_data,
-cross-process metric reduction, the collective orbax save, and the pod vis
-sampling (all-gather -> process-0 sampling -> barrier).
+paths. Scenarios:
+  base (default): train -> metric reduction -> pod vis sampling ->
+      collective orbax save -> RESUME into a fresh TrainLoop -> one more
+      step (multi-host restore).
+  preempt: run_loop until SIGTERM'd; the per-process interrupt flag is
+      agreed at the log boundary and BOTH processes checkpoint + exit
+      cleanly (train_loop.py preemption semantics).
 """
 
 import json
@@ -17,6 +21,7 @@ import sys
 
 def main():
     coordinator, num_processes, process_id, workdir = sys.argv[1:5]
+    scenario = sys.argv[5] if len(sys.argv) > 5 else "base"
     num_processes, process_id = int(num_processes), int(process_id)
 
     os.environ["XLA_FLAGS"] = (
@@ -57,10 +62,33 @@ def main():
     vis_batch = np.random.default_rng(0).standard_normal(
         (2, T, 2, 32, 32)).astype(np.float32)
     vis_dir = os.path.join(workdir, "vis")
+    ckpt_dir = os.path.join(workdir, "ckpt")
+
+    if scenario == "preempt":
+        def sentinel(loop):
+            print("SENTINEL-SAMPLE", flush=True)
+
+        loop = TrainLoop(
+            model=model, diffusion=diffusion, data=data(), batch_size=B_local,
+            max_frames=K, lr=1e-4, ema_rate="0.9999", log_interval=2,
+            save_interval=10**9, checkpoint_dir=ckpt_dir, config=cfg,
+            mesh=make_mesh(fsdp=2), seed=0,
+            sample_fn=sentinel, sample_interval=4,
+        )
+        # run_loop registers the SIGTERM handler and prints the sentinel at
+        # step 4 (and every 4 thereafter); the parent SIGTERMs ONE process,
+        # the flag is agreed at a log boundary, and both checkpoint + exit.
+        loop.run_loop(max_steps=100_000)
+        steps = [d for d in os.listdir(ckpt_dir) if d.isdigit()]
+        assert steps, "no preemption checkpoint written"
+        print(json.dumps({"process": process_id, "step": int(loop.step),
+                          "ckpt_steps": steps}), flush=True)
+        return
+
     loop = TrainLoop(
         model=model, diffusion=diffusion, data=data(), batch_size=B_local,
         max_frames=K, lr=1e-4, ema_rate="0.9999", log_interval=2,
-        save_interval=10**9, checkpoint_dir=os.path.join(workdir, "ckpt"),
+        save_interval=10**9, checkpoint_dir=ckpt_dir,
         config=cfg, mesh=make_mesh(fsdp=2), seed=0,
         sample_fn=make_sample_fn(vis_batch, out_dir=vis_dir, seed=0),
     )
@@ -80,7 +108,31 @@ def main():
     # Collective orbax save across both processes.
     loop.save()
 
+    # Multi-host RESTORE: a fresh TrainLoop resumes the collective
+    # checkpoint (orbax restores each process's shards) and keeps training.
+    loop2 = TrainLoop(
+        model=model, diffusion=diffusion, data=data(), batch_size=B_local,
+        max_frames=K, lr=1e-4, ema_rate="0.9999", log_interval=2,
+        save_interval=10**9, checkpoint_dir=ckpt_dir,
+        config=cfg, mesh=make_mesh(fsdp=2), seed=0, resume=True,
+    )
+    assert loop2.step == 2, loop2.step
+    # Restored params must equal the saved ones. They are sharded over the
+    # GLOBAL mesh (np.asarray would raise on non-addressable arrays), so
+    # compare a jitted global reduction instead.
+    import jax.numpy as jnp
+
+    def psum_all(tree):
+        return float(jax.jit(
+            lambda t: sum(jnp.sum(jnp.abs(x)) for x in jax.tree.leaves(t))
+        )(tree))
+
+    np.testing.assert_allclose(psum_all(loop2.state["params"]),
+                               psum_all(loop.state["params"]), rtol=1e-6)
+    loop2.run_step()
+
     print(json.dumps({"process": process_id, "step": int(loop.step),
+                      "resumed_step": int(loop2.step),
                       "loss": float(flushed["loss"])}), flush=True)
 
 

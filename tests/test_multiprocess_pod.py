@@ -26,22 +26,26 @@ def _free_port():
         return s.getsockname()[1]
 
 
-def test_two_process_pod_train_vis_save(tmp_path):
+def _spawn_pod(tmp_path, scenario="base"):
     coordinator = f"localhost:{_free_port()}"
     env = dict(os.environ)
     env.pop("JAX_PLATFORMS", None)
     worker = os.path.join(os.path.dirname(__file__), "pod_worker.py")
-    procs = [
+    return [
         subprocess.Popen(
-            [sys.executable, worker, coordinator, "2", str(i), str(tmp_path)],
+            [sys.executable, worker, coordinator, "2", str(i), str(tmp_path),
+             scenario],
             env=env, stdout=subprocess.PIPE, stderr=subprocess.STDOUT, text=True,
         )
         for i in range(2)
     ]
+
+
+def _wait(procs, timeout=600):
     outs = []
     try:
         for p in procs:
-            out, _ = p.communicate(timeout=600)
+            out, _ = p.communicate(timeout=timeout)
             outs.append(out)
     finally:
         for p in procs:
@@ -49,13 +53,19 @@ def test_two_process_pod_train_vis_save(tmp_path):
                 p.kill()
     for i, (p, out) in enumerate(zip(procs, outs)):
         assert p.returncode == 0, f"process {i} failed:\n{out[-4000:]}"
-
     results = []
     for out in outs:
         line = [l for l in out.splitlines() if l.startswith('{"process"')][-1]
         results.append(json.loads(line))
     assert {r["process"] for r in results} == {0, 1}
+    return outs, results
+
+
+def test_two_process_pod_train_vis_save_resume(tmp_path):
+    procs = _spawn_pod(tmp_path)
+    outs, results = _wait(procs)
     assert all(r["step"] == 2 for r in results)
+    assert all(r["resumed_step"] == 2 for r in results)
     # metric reduction agreed across processes (same weighted mean)
     assert abs(results[0]["loss"] - results[1]["loss"]) < 1e-6
 
@@ -65,3 +75,56 @@ def test_two_process_pod_train_vis_save(tmp_path):
     # pod vis sampling: process 0 wrote the panels, process 1 did not crash
     gifs = list((tmp_path / "vis").glob("*.gif"))
     assert len(gifs) == 2, gifs
+
+
+def test_two_process_pod_preemption_checkpoint(tmp_path):
+    """SIGTERM ONE process mid-training: the interrupt flag is agreed at a
+    process-uniform log boundary and BOTH processes enter the collective
+    checkpoint save, then exit cleanly (train_loop.py preemption path)."""
+    import signal
+    import threading
+
+    procs = _spawn_pod(tmp_path, scenario="preempt")
+    # Wait for the step-4 sentinel on process 0's stdout (the SIGTERM
+    # handler is registered before any sentinel can print), then interrupt
+    # ONLY process 1 — agreement must propagate to process 0.
+    seen = threading.Event()
+    lines0: list = []
+
+    def watch():
+        # readline (not iteration) — the text-iterator read-ahead could
+        # swallow lines we assert on later. This thread owns procs[0].stdout
+        # until EOF.
+        while True:
+            line = procs[0].stdout.readline()
+            if not line:
+                return
+            lines0.append(line)
+            if "SENTINEL-SAMPLE" in line:
+                seen.set()
+
+    t = threading.Thread(target=watch, daemon=True)
+    t.start()
+    if not seen.wait(timeout=540):
+        for p in procs:
+            p.kill()
+        pytest.fail(f"no sentinel within timeout; head:\n{''.join(lines0)[-2000:]}")
+    procs[1].send_signal(signal.SIGTERM)
+
+    try:
+        out1, _ = procs[1].communicate(timeout=420)
+        procs[0].wait(timeout=420)
+    except subprocess.TimeoutExpired:
+        for p in procs:
+            p.kill()
+        procs[1].communicate()
+        procs[0].wait()
+        raise
+    t.join(timeout=60)
+    outs = ["".join(lines0), out1]
+    for i, (p, out) in enumerate(zip(procs, outs)):
+        assert p.returncode == 0, f"process {i} rc={p.returncode}:\n{out[-4000:]}"
+    # both processes report the preemption checkpoint
+    assert all("after interrupt" in out for out in outs), outs[0][-500:]
+    ckpt_steps = [d for d in os.listdir(tmp_path / "ckpt") if d.isdigit()]
+    assert len(ckpt_steps) >= 1, ckpt_steps
