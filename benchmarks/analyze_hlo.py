@@ -67,6 +67,18 @@ def main():
     for base, us in cats.most_common(20):
         print(f"{us/5/1000:8.2f}  {us/5/1000/total_ms*100:5.1f}  {base}")
 
+    # Aggregate by U-Net module (the op_name metadata path), so per-layer
+    # attribution survives fusion renaming across compiles.
+    mods = collections.Counter()
+    for name, us in tot.items():
+        line = hlo_lines.get(name, "")
+        m = re.search(r'UNetVideoModel/([^/"]+(?:/[^/"]+)?)', line)
+        key = m.group(1) if m else "(unattributed)"
+        mods[key] += us
+    print(f"\n{'ms/fwd':>8}  {'%':>5}  module")
+    for key, us in mods.most_common(40):
+        print(f"{us/5/1000:8.2f}  {us/5/1000/total_ms*100:5.1f}  {key}")
+
     print(f"\n{'ms/fwd':>8}  op  ::  hlo")
     for name, us in tot.most_common(30):
         line = hlo_lines.get(name, "?")

@@ -53,7 +53,7 @@ class GroupNorm32(nn.Module):
     out_dtype: jnp.dtype = None
 
     @nn.compact
-    def __call__(self, x: jnp.ndarray) -> jnp.ndarray:
+    def __call__(self, x: jnp.ndarray, precomputed_sums=None) -> jnp.ndarray:
         C = x.shape[-1]
         G = self.groups if C % self.groups == 0 else math.gcd(self.groups, C)
         N = x.shape[0]
@@ -83,7 +83,21 @@ class GroupNorm32(nn.Module):
         # NB: each reduce gets its own cast/subtract EXPRESSION — a shared
         # intermediate makes XLA materialize the f32 tensor (a multi-ms HBM
         # round trip at 128²) instead of fusing the convert into each reduce.
-        if x.dtype.itemsize >= 4:
+        if precomputed_sums is not None:
+            # Stats handed in as per-channel (Σx, Σx²) f32 pairs of shape
+            # (N, C), computed by ``channel_sums`` AT EACH PRODUCER. Used for
+            # the U-Net up path's in_norm over a skip-concat: a reduce over
+            # the concat cannot fuse anywhere (its two inputs come from far-
+            # apart producers → a standalone multi-hundred-MB read pass,
+            # 0.5-0.8 ms each at 128² on v5e), while per-part reduces fuse
+            # into each part's producing conv as sibling outputs — XLA emits
+            # that pattern for every other GroupNorm in the net. Variance is
+            # unanchored E[x²]−E[x]² here (see anchor note above: exact for
+            # the bf16 production path's regime; for f32 the relative error
+            # is (mean/std)²·2⁻²³ — negligible until |mean| ≳ 300σ).
+            a_g = jnp.zeros((N, G), jnp.float32)
+            s1, s2 = precomputed_sums
+        elif x.dtype.itemsize >= 4:
             a_slice = x[:, :1].astype(jnp.float32)
             a_c = jnp.mean(a_slice, axis=red_axes)  # (N, C)
             a_g = a_c.reshape(N, G, C // G).mean(-1)  # (N, G)
@@ -108,6 +122,21 @@ class GroupNorm32(nn.Module):
         add = bias[None] - c_mean * mul
         y = x.astype(jnp.float32) * mul.reshape(bshape) + add.reshape(bshape)
         return y.astype(self.out_dtype or orig_dtype)
+
+
+def channel_sums(x: jnp.ndarray):
+    """Per-channel f32 (Σx, Σx²) over all non-channel axes except batch.
+
+    Returns two (N, C) arrays — the precomputed-stats input of
+    ``GroupNorm32``. Each reduce keeps its own cast/square EXPRESSION so XLA
+    fuses the convert into the reduce and (crucially) can fuse the whole
+    reduce into ``x``'s producer as a sibling output instead of re-reading
+    ``x`` from HBM.
+    """
+    red_axes = tuple(range(1, x.ndim - 1))
+    s1 = jnp.sum(x.astype(jnp.float32), axis=red_axes)
+    s2 = jnp.sum(jnp.square(x.astype(jnp.float32)), axis=red_axes)
+    return s1, s2
 
 
 def zero_init_dense(features: int, dtype=jnp.float32, name=None) -> nn.Dense:

@@ -25,12 +25,57 @@ from __future__ import annotations
 
 from typing import Optional, Tuple
 
+import jax
 import jax.numpy as jnp
 from flax import linen as nn
 
-from .nn import (GroupNorm32, timestep_embedding, torch_default_conv,
-                 torch_default_dense, zero_init_conv)
+from .nn import (GroupNorm32, channel_sums, timestep_embedding,
+                 torch_default_conv, torch_default_dense, zero_init_conv,
+                 torch_style_bias_init_for, torch_style_conv_init)
 from .rpe import RPEAttention
+from ..ops import skipconv as _skipconv
+from ..ops.skipconv import skip_conv_stats
+
+
+class _FusedSkipConv(nn.Module):
+    """Up-path 1x1 skip projection + residual add + next-block GN stats.
+
+    OPT-IN (``LFVDM_PALLAS_SKIPCONV``, default off): measured in-model on
+    v5e this loses to the conv-on-concat emitter — see
+    ``ops.skipconv.mode`` for the numbers and why (custom-call layout and
+    fusion barriers). Kept wired so the measurement stays reproducible.
+
+    Parameter tree identical to the 1x1 ``nn.Conv`` it replaces (kernel
+    (1, 1, C, F) + bias (F,), torch default init), so checkpoints and the
+    reference converter are unaffected. Compute goes through
+    ``ops.skipconv.skip_conv_stats`` — one Pallas kernel on TPU (flat tiled
+    matmul at HBM bandwidth, emitting the output's per-sample channel
+    (Σy, Σy²) for the NEXT ResBlock's GroupNorm, since a custom call is a
+    fusion barrier XLA can't reduce through), plain XLA elsewhere.
+    """
+
+    features: int
+    in_features: int
+    dtype: jnp.dtype = jnp.float32
+
+    @nn.compact
+    def __call__(self, x1, x2, resid):
+        N, H, W, c1 = x1.shape
+        c2 = x2.shape[-1]
+        F = self.features
+        w = self.param("kernel", torch_style_conv_init,
+                       (1, 1, self.in_features, F), jnp.float32)
+        b = self.param("bias", torch_style_bias_init_for(self.in_features),
+                       (F,), jnp.float32)
+        M = N * H * W
+        y, s1, s2 = skip_conv_stats(
+            x1.reshape(M, c1).astype(self.dtype),
+            x2.reshape(M, c2).astype(self.dtype),
+            w.reshape(self.in_features, F).astype(self.dtype),
+            b.astype(self.dtype),
+            resid.reshape(M, F).astype(self.dtype),
+            N, _skipconv.mode() == "pallas")
+        return y.reshape(N, H, W, F), (s1, s2)
 
 
 class ResBlock(nn.Module):
@@ -42,12 +87,24 @@ class ResBlock(nn.Module):
     use_scale_shift_norm: bool = False
     dtype: jnp.dtype = jnp.float32
     train: bool = False
+    emit_stats: bool = False  # also return the output's (Σy, Σy²) or None
 
     @nn.compact
-    def __call__(self, x, emb):
+    def __call__(self, x, emb, in_stats=None, parts=None):
+        """``in_stats``: optional per-channel (Σx, Σx²) f32 pair for the
+        in_norm statistics, computed at ``x``'s producers (see
+        ``nn.channel_sums``). Used by the up path, where ``x`` is a skip
+        concat: per-part sums fuse into each part's producing conv, while an
+        internal reduce over the concat cannot fuse anywhere and costs a
+        standalone full read of the concat per block.
+
+        ``parts``: the two unconcatenated halves of ``x`` (up path). With a
+        1x1 skip projection this routes through ``_FusedSkipConv`` — on TPU
+        one Pallas kernel for projection + residual add that also emits the
+        output's channel sums (returned when ``emit_stats``)."""
         train = self.train
         in_ch = x.shape[-1]
-        h = GroupNorm32(name="in_norm")(x)
+        h = GroupNorm32(name="in_norm")(x, precomputed_sums=in_stats)
         h = nn.silu(h)
         h = torch_default_conv(self.out_channels, (3, 3), in_ch,
                                dtype=self.dtype, name="in_conv")(h)
@@ -73,15 +130,22 @@ class ResBlock(nn.Module):
             h = nn.Dropout(self.dropout, deterministic=not train)(h)
             h = zero_init_conv(self.out_channels, dtype=self.dtype, name="out_conv")(h)
 
+        out_stats = None
         if self.out_channels == in_ch:
-            skip = x
+            out = x + h
         elif self.use_conv:
-            skip = torch_default_conv(self.out_channels, (3, 3), in_ch,
-                                      dtype=self.dtype, name="skip_conv")(x)
+            out = torch_default_conv(self.out_channels, (3, 3), in_ch,
+                                     dtype=self.dtype, name="skip_conv")(x) + h
+        elif parts is not None:
+            out, out_stats = _FusedSkipConv(
+                features=self.out_channels, in_features=in_ch,
+                dtype=self.dtype, name="skip_conv")(parts[0], parts[1], h)
         else:
-            skip = torch_default_conv(self.out_channels, (1, 1), in_ch,
-                                      dtype=self.dtype, name="skip_conv")(x)
-        return skip + h
+            out = torch_default_conv(self.out_channels, (1, 1), in_ch,
+                                     dtype=self.dtype, name="skip_conv")(x) + h
+        if self.emit_stats:
+            return out, out_stats
+        return out
 
 
 class Downsample(nn.Module):
@@ -100,6 +164,77 @@ class Downsample(nn.Module):
         return nn.avg_pool(x, (2, 2), strides=(2, 2))
 
 
+class _UpsampleConv(nn.Module):
+    """Nearest-2x-upsample + 3x3 conv with a measured per-size strategy.
+
+    Small feature maps (input H·W ≤ 32²) use the transposed-conv form: with
+    u = nearest_up(x) and z = zero-stuffed x, u = z ⋆ ones(2,2), so
+    u ⋆ w = z ⋆ K4 with K4 = M₄ w M₄ᵀ (M₄ = [[1,0,0],[1,1,0],[0,1,1],[0,0,1]]
+    applied per axis) — ONE lhs-dilation-2 conv writing the upsampled output
+    directly, never materializing the 4x broadcast. Mathematically exact.
+
+    The largest level keeps the naive repeat+conv: measured on v5e
+    (benchmarks/microbench_upsample.py), the dilated emitter loses ~2.8 ms
+    at (64→128, C=128) but wins 0.2-0.4 ms at every smaller level; an
+    explicit phase-decomposed 2x2 conv + depth-to-space interleave loses
+    everywhere in-model to layout copies.
+
+    The parameter is stored as the ordinary (3, 3, C, F) kernel (+ bias),
+    identical tree/init to the nn.Conv it replaces, so reference-checkpoint
+    conversion and existing checkpoints are unaffected.
+    """
+
+    features: int
+    in_features: int
+    dtype: jnp.dtype = jnp.float32
+
+    @nn.compact
+    def __call__(self, x):
+        N, H, W, C = x.shape
+        F = self.features
+        w = self.param("kernel", torch_style_conv_init, (3, 3, C, F), jnp.float32)
+        fan_in = 9 * self.in_features
+        b = self.param("bias", torch_style_bias_init_for(fan_in), (F,), jnp.float32)
+
+        if H * W > 32 * 32:
+            u = jnp.repeat(jnp.repeat(x, 2, axis=1), 2, axis=2)
+            y = jax.lax.conv_general_dilated(
+                u.astype(self.dtype), w.astype(self.dtype), (1, 1),
+                ((1, 1), (1, 1)), dimension_numbers=("NHWC", "HWIO", "NHWC"))
+        else:
+            m4 = jnp.array([[1.0, 0, 0], [1, 1, 0], [0, 1, 1], [0, 0, 1]],
+                           jnp.float32)
+            k4 = jnp.einsum("rk,cl,klif->rcif", m4, m4, w).astype(self.dtype)
+            y = jax.lax.conv_general_dilated(
+                x.astype(self.dtype), k4, window_strides=(1, 1),
+                padding=((2, 2), (2, 2)), lhs_dilation=(2, 2),
+                dimension_numbers=("NHWC", "HWIO", "NHWC"))
+        return y + b.astype(self.dtype)
+
+
+class _NCHWOutConv(nn.Module):
+    """Zero-init 3x3 conv (a "zero module") whose output is logically NCHW.
+
+    Parameter tree/shapes identical to the ``nn.Conv`` it replaces
+    (kernel (3, 3, C, F) + bias (F,), both zero-init), f32 compute.
+    """
+
+    features: int
+
+    @nn.compact
+    def __call__(self, x):
+        C = x.shape[-1]
+        w = self.param("kernel", nn.initializers.zeros, (3, 3, C, self.features),
+                       jnp.float32)
+        b = self.param("bias", nn.initializers.zeros, (self.features,), jnp.float32)
+        y = jax.lax.conv_general_dilated(
+            x.astype(jnp.float32), w, window_strides=(1, 1),
+            padding=((1, 1), (1, 1)),
+            dimension_numbers=("NHWC", "HWIO", "NCHW"),
+        )
+        return y + b[None, :, None, None]
+
+
 class Upsample(nn.Module):
     """Nearest-neighbor 2x upsample + optional 3x3 conv (unet.py:60-88)."""
 
@@ -109,10 +244,10 @@ class Upsample(nn.Module):
     @nn.compact
     def __call__(self, x):
         N, H, W, C = x.shape
-        x = jnp.repeat(jnp.repeat(x, 2, axis=1), 2, axis=2)
         if self.use_conv:
-            x = torch_default_conv(C, (3, 3), C, dtype=self.dtype, name="conv")(x)
-        return x
+            return _UpsampleConv(features=C, in_features=C,
+                                 dtype=self.dtype, name="conv")(x)
+        return jnp.repeat(jnp.repeat(x, 2, axis=1), 2, axis=2)
 
 
 class FactorizedAttentionBlock(nn.Module):
@@ -241,11 +376,12 @@ class UNetVideoModel(nn.Module):
         res_block_cls = nn.remat(ResBlock) if self.use_remat else ResBlock
         attn_block_cls = nn.remat(FactorizedAttentionBlock) if self.use_remat else FactorizedAttentionBlock
 
-        def res_block(name, out_channels):
+        def res_block(name, out_channels, emit_stats=False):
             return res_block_cls(
                 out_channels=out_channels, dropout=self.dropout,
                 use_scale_shift_norm=self.use_scale_shift_norm,
-                dtype=self.dtype, train=train, name=name,
+                dtype=self.dtype, train=train, emit_stats=emit_stats,
+                name=name,
             )
 
         attns = {"temporal": [], "spatial": []} if return_attn_weights else None
@@ -292,17 +428,35 @@ class UNetVideoModel(nn.Module):
         ds = 2 ** (len(self.channel_mult) - 1)
 
         # --- Up path ---
+        # Opt-in fused skip projection (measured slower in-model — see
+        # ops.skipconv.mode); trace-time constant, default graph unchanged.
+        fused_skip = _skipconv.mode() is not None
+        prev_stats = None  # (Σh, Σh²) of the current h, when a producer emitted it
         for level, mult in reversed(list(enumerate(self.channel_mult))):
             for i in range(self.num_res_blocks + 1):
                 skip = hs.pop()
                 ch = self.model_channels * mult
-                h = res_block(f"up_{level}_{i}", ch)(jnp.concatenate([h, skip], axis=-1), emb)
+                # in_norm stats from per-part sums: each (N, C) reduce fuses
+                # into its part's producer; a reduce over the concat would be
+                # a standalone full-concat read (~0.5 ms/block at 128²). The
+                # h-part sums come from the previous block's fused skip-conv
+                # kernel when it ran (a custom call is a fusion barrier, so
+                # recomputing them here would be a standalone read of h).
+                h_s1, h_s2 = prev_stats if prev_stats is not None else channel_sums(h)
+                k_s1, k_s2 = channel_sums(skip)
+                in_stats = (jnp.concatenate([h_s1, k_s1], axis=-1),
+                            jnp.concatenate([h_s2, k_s2], axis=-1))
+                h, prev_stats = res_block(f"up_{level}_{i}", ch, emit_stats=True)(
+                    jnp.concatenate([h, skip], axis=-1), emb, in_stats,
+                    parts=(h, skip) if fused_skip else None)
                 if ds in self.attention_resolutions:
                     h = apply_attn(h, num_heads_up, f"up_attn_{level}_{i}")
+                    prev_stats = None
                 if level and i == self.num_res_blocks:
                     h = Upsample(use_conv=self.conv_resample, dtype=self.dtype,
                                  name=f"upsample_{level}")(h)
                     ds //= 2
+                    prev_stats = None
         assert not hs
 
         # --- Output head (f32 — REQUIRED for sampling correctness) ---
@@ -315,9 +469,13 @@ class UNetVideoModel(nn.Module):
         # normalize pass, so this costs write bandwidth only.
         h = GroupNorm32(name="out_norm", out_dtype=jnp.float32)(h)
         h = nn.silu(h)
-        h = zero_init_conv(self.out_channels, dtype=jnp.float32, name="out_conv")(h)
+        # The head conv emits NCHW directly: the public output is channels-
+        # before-spatial, and an NHWC conv output with out_channels≈3 puts a
+        # 3-wide dim on the 128 lanes (measured 0.64 ms vs a ~0.25 ms floor
+        # for this op at 128²). Params identical to the nn.Conv it replaces.
+        h = _NCHWOutConv(features=self.out_channels, name="out_conv")(h)
 
-        out = h.reshape(B, T, Hs, Ws, self.out_channels).transpose(0, 1, 4, 2, 3)
+        out = h.reshape(B, T, self.out_channels, Hs, Ws)
         if return_features:
             return out, attns, out_features
         return out, attns

@@ -1,0 +1,115 @@
+"""Exactness tests for the TPU fast paths in models/unet.py and models/nn.py.
+
+Each rewrite (transposed-conv upsample, producer-fused GroupNorm statistics,
+NCHW-output head conv) must compute the SAME function as the plain form it
+replaces — these tests pin that equivalence on CPU at small shapes.
+"""
+
+import numpy as np
+import jax
+import jax.numpy as jnp
+import pytest
+from flax import linen as nn
+
+from lfvdm_tpu.models.nn import GroupNorm32, channel_sums, torch_default_conv
+from lfvdm_tpu.models.unet import ResBlock, Upsample, _NCHWOutConv
+
+
+class _NaiveUp(nn.Module):
+    """Reference form: materialized nearest-2x broadcast + SAME 3x3 conv."""
+
+    @nn.compact
+    def __call__(self, x):
+        C = x.shape[-1]
+        x = jnp.repeat(jnp.repeat(x, 2, axis=1), 2, axis=2)
+        return torch_default_conv(C, (3, 3), C, name="conv")(x)
+
+
+@pytest.mark.parametrize("hw", [5, 8, 32])  # ≤32 hits the dilated branch
+def test_upsample_dilated_matches_naive(hw):
+    rng = np.random.default_rng(0)
+    x = jnp.asarray(rng.standard_normal((3, hw, hw, 16)), jnp.float32)
+    up = Upsample(use_conv=True)
+    params = up.init(jax.random.PRNGKey(1), x)
+    got = up.apply(params, x)
+    want = _NaiveUp().apply(params, x)
+    assert got.shape == (3, 2 * hw, 2 * hw, 16)
+    np.testing.assert_allclose(np.asarray(got), np.asarray(want),
+                               rtol=1e-5, atol=1e-5)
+
+
+def test_upsample_large_level_uses_same_params():
+    # >32² input takes the naive branch of _UpsampleConv; same params apply.
+    rng = np.random.default_rng(1)
+    x = jnp.asarray(rng.standard_normal((1, 40, 40, 8)), jnp.float32)
+    up = Upsample(use_conv=True)
+    params = up.init(jax.random.PRNGKey(2), x)
+    got = up.apply(params, x)
+    want = _NaiveUp().apply(params, x)
+    np.testing.assert_allclose(np.asarray(got), np.asarray(want),
+                               rtol=1e-5, atol=1e-5)
+
+
+@pytest.mark.parametrize("dtype", [jnp.float32, jnp.bfloat16])
+def test_groupnorm_precomputed_sums(dtype):
+    rng = np.random.default_rng(2)
+    x = jnp.asarray(rng.standard_normal((4, 9, 9, 64)) * 3 + 1.5, dtype)
+    gn = GroupNorm32()
+    p = gn.init(jax.random.PRNGKey(3), x)
+    internal = np.asarray(gn.apply(p, x), np.float32)
+    pre = np.asarray(gn.apply(p, x, precomputed_sums=channel_sums(x)), np.float32)
+    tol = 1e-5 if dtype == jnp.float32 else 3e-2
+    np.testing.assert_allclose(pre, internal, rtol=tol, atol=tol)
+
+
+def test_resblock_in_stats_matches_plain():
+    rng = np.random.default_rng(3)
+    xcat = jnp.asarray(rng.standard_normal((4, 9, 9, 96)), jnp.float32)
+    emb = jnp.asarray(rng.standard_normal((4, 48)), jnp.float32)
+    rb = ResBlock(out_channels=32)
+    pr = rb.init(jax.random.PRNGKey(4), xcat, emb)
+    o1 = rb.apply(pr, xcat, emb)
+    s1a, s2a = channel_sums(xcat[..., :64])
+    s1b, s2b = channel_sums(xcat[..., 64:])
+    stats = (jnp.concatenate([s1a, s1b], -1), jnp.concatenate([s2a, s2b], -1))
+    o2 = rb.apply(pr, xcat, emb, stats)
+    np.testing.assert_allclose(np.asarray(o1), np.asarray(o2),
+                               rtol=1e-5, atol=1e-5)
+
+
+def test_resblock_parts_path_matches_concat_conv():
+    # The opt-in fused skip projection (LFVDM_PALLAS_SKIPCONV, ResBlock
+    # ``parts``) must equal the default 1x1-conv-on-concat + residual form.
+    rng = np.random.default_rng(5)
+    a = jnp.asarray(rng.standard_normal((2, 8, 8, 64)), jnp.float32)
+    b = jnp.asarray(rng.standard_normal((2, 8, 8, 64)), jnp.float32)
+    emb = jnp.asarray(rng.standard_normal((2, 48)), jnp.float32)
+    xcat = jnp.concatenate([a, b], axis=-1)
+    rb = ResBlock(out_channels=32, emit_stats=True)
+    pr = rb.init(jax.random.PRNGKey(6), xcat, emb)
+    out_plain, st_plain = rb.apply(pr, xcat, emb)
+    assert st_plain is None
+    out_parts, st = rb.apply(pr, xcat, emb, parts=(a, b))
+    np.testing.assert_allclose(np.asarray(out_plain), np.asarray(out_parts),
+                               rtol=1e-5, atol=1e-5)
+    s1_ref, s2_ref = channel_sums(out_plain)
+    np.testing.assert_allclose(np.asarray(st[0]), np.asarray(s1_ref),
+                               rtol=1e-4, atol=1e-3)
+    np.testing.assert_allclose(np.asarray(st[1]), np.asarray(s2_ref),
+                               rtol=1e-4, atol=1e-3)
+
+
+def test_nchw_out_conv_matches_nn_conv():
+    rng = np.random.default_rng(4)
+    x = jnp.asarray(rng.standard_normal((2, 7, 7, 16)), jnp.float32)
+    mod = _NCHWOutConv(features=3)
+    params = mod.init(jax.random.PRNGKey(5), x)
+    # zero-init → randomize to make the comparison non-vacuous
+    params = jax.tree.map(
+        lambda a: jnp.asarray(rng.standard_normal(a.shape), a.dtype), params)
+    got = mod.apply(params, x)  # (N, 3, H, W)
+    ref_conv = nn.Conv(3, (3, 3), padding="SAME")
+    want = ref_conv.apply({"params": params["params"]}, x)  # (N, H, W, 3)
+    np.testing.assert_allclose(np.asarray(got),
+                               np.asarray(want.transpose(0, 3, 1, 2)),
+                               rtol=1e-5, atol=1e-5)
