@@ -41,7 +41,7 @@ def _spawn_pod(tmp_path, scenario="base"):
     ]
 
 
-def _wait(procs, timeout=600):
+def _wait(procs, timeout=1200):
     outs = []
     try:
         for p in procs:
@@ -105,15 +105,17 @@ def test_two_process_pod_preemption_checkpoint(tmp_path):
 
     t = threading.Thread(target=watch, daemon=True)
     t.start()
-    if not seen.wait(timeout=540):
+    # generous: two fresh jax processes each compile a train step on CPU;
+    # under heavy host load (parallel compiles) 540 s has flaked.
+    if not seen.wait(timeout=1100):
         for p in procs:
             p.kill()
         pytest.fail(f"no sentinel within timeout; head:\n{''.join(lines0)[-2000:]}")
     procs[1].send_signal(signal.SIGTERM)
 
     try:
-        out1, _ = procs[1].communicate(timeout=420)
-        procs[0].wait(timeout=420)
+        out1, _ = procs[1].communicate(timeout=900)
+        procs[0].wait(timeout=900)
     except subprocess.TimeoutExpired:
         for p in procs:
             p.kill()
