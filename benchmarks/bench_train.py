@@ -60,9 +60,15 @@ def main():
     step_fn = jax.jit(make_train_step(model, diffusion, tx, ["0.9999"]),
                       donate_argnums=(0,))
 
+    def fence(state):
+        # np.asarray is a REAL device fetch; jax.block_until_ready has been
+        # observed to return early on the tunneled runtime while a remote
+        # compile/warmup is still in flight (same fix as bench.py).
+        np.asarray(jax.tree.leaves(state["params"])[0])
+
     key = jax.random.PRNGKey(1)
     state, _ = step_fn(state, batch, t, w, key)  # compile + warmup
-    jax.block_until_ready(state["params"])
+    fence(state)
 
     if args.profile:
         ctx = jax.profiler.trace("/tmp/lfvdm_train_trace")
@@ -80,7 +86,7 @@ def main():
             for i in range(args.reps):
                 t0 = time.perf_counter()
                 state, metrics = step_fn(state, batch, t, w, jax.random.fold_in(key, i))
-                jax.block_until_ready(state["params"])
+                fence(state)
                 float(metrics["weighted_loss"])
                 times.append(time.perf_counter() - t0)
             if args.verbose:
@@ -94,7 +100,7 @@ def main():
             t0 = time.perf_counter()
             for i in range(args.reps):
                 state, metrics = step_fn(state, batch, t, w, jax.random.fold_in(key, i))
-            jax.block_until_ready(state["params"])
+            fence(state)
             dt = (time.perf_counter() - t0) / args.reps
 
     print(json.dumps({
