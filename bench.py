@@ -74,30 +74,30 @@ def main():
     res = H // (2 ** (len(ch_mult) - 1))
     for level in range(len(ch_mult) - 1, 0, -1):
         c = cfg["num_channels"] * ch_mult[level]
-        if res * res <= 32 * 32:  # dilated-form levels (unet._UpsampleConv)
-            xs = jnp.zeros((NT, res, res, c), jnp.bfloat16)
-            w3 = jnp.zeros((3, 3, c, c), jnp.bfloat16)
+        # every upsample level uses the dilated form (unet._UpsampleConv)
+        xs = jnp.zeros((NT, res, res, c), jnp.bfloat16)
+        w3 = jnp.zeros((3, 3, c, c), jnp.bfloat16)
 
-            def naive_up(x, w):
-                u = jnp.repeat(jnp.repeat(x, 2, 1), 2, 2)
-                return jax.lax.conv_general_dilated(
-                    u, w, (1, 1), ((1, 1), (1, 1)),
-                    dimension_numbers=("NHWC", "HWIO", "NHWC"))
+        def naive_up(x, w):
+            u = jnp.repeat(jnp.repeat(x, 2, 1), 2, 2)
+            return jax.lax.conv_general_dilated(
+                u, w, (1, 1), ((1, 1), (1, 1)),
+                dimension_numbers=("NHWC", "HWIO", "NHWC"))
 
-            def dilated_up(x, w):
-                w4 = jnp.zeros((4, 4, c, c), jnp.bfloat16)
-                return jax.lax.conv_general_dilated(
-                    x, w4, (1, 1), ((2, 2), (2, 2)), lhs_dilation=(2, 2),
-                    dimension_numbers=("NHWC", "HWIO", "NHWC"))
+        def dilated_up(x, w):
+            w4 = jnp.zeros((4, 4, c, c), jnp.bfloat16)
+            return jax.lax.conv_general_dilated(
+                x, w4, (1, 1), ((2, 2), (2, 2)), lhs_dilation=(2, 2),
+                dimension_numbers=("NHWC", "HWIO", "NHWC"))
 
-            try:
-                fl_n = float(jax.jit(naive_up).lower(xs, w3).compile()
-                             .cost_analysis()["flops"])
-                fl_d = float(jax.jit(dilated_up).lower(xs, w3).compile()
-                             .cost_analysis()["flops"])
-                ref_flops_per_call += fl_n - fl_d
-            except Exception:
-                pass
+        try:
+            fl_n = float(jax.jit(naive_up).lower(xs, w3).compile()
+                         .cost_analysis()["flops"])
+            fl_d = float(jax.jit(dilated_up).lower(xs, w3).compile()
+                         .cost_analysis()["flops"])
+            ref_flops_per_call += fl_n - fl_d
+        except Exception:
+            pass
         res *= 2
 
     # timed sampler scan — the REAL production launch: the full 1000-step

@@ -23,27 +23,34 @@ import jax.numpy as jnp
 import numpy as np
 
 
-def timeit(fn, x, iters=200):
-    """Time ``fn`` inside ONE compiled scan (the tunnel charges ~100s of ms
-    per dispatch, so per-call timing is meaningless here; the production
-    sampler runs everything in one scan anyway)."""
+def timeit(fn, x, iters=60):
+    """Time ``fn`` in ONE compiled program as an unrolled dependent chain.
+
+    HARNESS WARNING (the reason this file exists in its current form): a
+    lax.scan harness here copied its carry every step and inflated the
+    dilated variant ~2.8 ms at (64->128, C=128) — which mis-drove the
+    in-model strategy until an analyze_hlo A/B showed dilated WINNING that
+    level (1.34 -> 0.48 ms in-model). Microbench scans with big carries lie;
+    chain iterations by data dependence instead, and confirm any strategy
+    choice in-model.
+    """
 
     def loop(x0):
-        def step(carry, _):
-            y = fn(carry)
-            # keep shapes closed: fold output back to input shape
-            N, H2, W2, F = y.shape
-            return y[:, ::2, ::2, :], jnp.float32(0)
-
-        out, _ = jax.lax.scan(step, x0, None, length=iters)
-        return out
+        y = None
+        xi = x0
+        for _ in range(iters):
+            y = fn(xi)
+            xi = y[:, ::2, ::2, :]  # fold output back to input shape
+        return y
 
     fn_j = jax.jit(loop)
     np.asarray(fn_j(x))  # compile + fenced warmup
-    t0 = time.perf_counter()
-    out = fn_j(x)
-    np.asarray(out)
-    return (time.perf_counter() - t0) / iters * 1000
+    best = float("inf")
+    for _ in range(3):
+        t0 = time.perf_counter()
+        np.asarray(fn_j(x))
+        best = min(best, (time.perf_counter() - t0) / iters * 1000)
+    return best
 
 
 def make_variants(w, b):

@@ -165,19 +165,20 @@ class Downsample(nn.Module):
 
 
 class _UpsampleConv(nn.Module):
-    """Nearest-2x-upsample + 3x3 conv with a measured per-size strategy.
+    """Nearest-2x-upsample + 3x3 conv as ONE transposed conv (every level).
 
-    Small feature maps (input H·W ≤ 32²) use the transposed-conv form: with
-    u = nearest_up(x) and z = zero-stuffed x, u = z ⋆ ones(2,2), so
+    With u = nearest_up(x) and z = zero-stuffed x, u = z ⋆ ones(2,2), so
     u ⋆ w = z ⋆ K4 with K4 = M₄ w M₄ᵀ (M₄ = [[1,0,0],[1,1,0],[0,1,1],[0,0,1]]
-    applied per axis) — ONE lhs-dilation-2 conv writing the upsampled output
+    applied per axis) — one lhs-dilation-2 conv writing the upsampled output
     directly, never materializing the 4x broadcast. Mathematically exact.
 
-    The largest level keeps the naive repeat+conv: measured on v5e
-    (benchmarks/microbench_upsample.py), the dilated emitter loses ~2.8 ms
-    at (64→128, C=128) but wins 0.2-0.4 ms at every smaller level; an
-    explicit phase-decomposed 2x2 conv + depth-to-space interleave loses
-    everywhere in-model to layout copies.
+    Measured in-model on v5e (analyze_hlo.py): the dilated form wins at
+    EVERY level, including the largest — upsample_1 (64→128, C=128)
+    1.34 → 0.48 ms, full forward 24.17 → 23.31 ms. (An earlier standalone
+    microbench "showed" the big level losing 2.8 ms, but that was the scan
+    harness copying its carry — harness artifact, see
+    microbench_upsample.py. An explicit phase-decomposed 2x2 conv +
+    depth-to-space interleave does lose in-model to layout copies.)
 
     The parameter is stored as the ordinary (3, 3, C, F) kernel (+ bias),
     identical tree/init to the nn.Conv it replaces, so reference-checkpoint
@@ -196,19 +197,13 @@ class _UpsampleConv(nn.Module):
         fan_in = 9 * self.in_features
         b = self.param("bias", torch_style_bias_init_for(fan_in), (F,), jnp.float32)
 
-        if H * W > 32 * 32:
-            u = jnp.repeat(jnp.repeat(x, 2, axis=1), 2, axis=2)
-            y = jax.lax.conv_general_dilated(
-                u.astype(self.dtype), w.astype(self.dtype), (1, 1),
-                ((1, 1), (1, 1)), dimension_numbers=("NHWC", "HWIO", "NHWC"))
-        else:
-            m4 = jnp.array([[1.0, 0, 0], [1, 1, 0], [0, 1, 1], [0, 0, 1]],
-                           jnp.float32)
-            k4 = jnp.einsum("rk,cl,klif->rcif", m4, m4, w).astype(self.dtype)
-            y = jax.lax.conv_general_dilated(
-                x.astype(self.dtype), k4, window_strides=(1, 1),
-                padding=((2, 2), (2, 2)), lhs_dilation=(2, 2),
-                dimension_numbers=("NHWC", "HWIO", "NHWC"))
+        m4 = jnp.array([[1.0, 0, 0], [1, 1, 0], [0, 1, 1], [0, 0, 1]],
+                       jnp.float32)
+        k4 = jnp.einsum("rk,cl,klif->rcif", m4, m4, w).astype(self.dtype)
+        y = jax.lax.conv_general_dilated(
+            x.astype(self.dtype), k4, window_strides=(1, 1),
+            padding=((2, 2), (2, 2)), lhs_dilation=(2, 2),
+            dimension_numbers=("NHWC", "HWIO", "NHWC"))
         return y + b.astype(self.dtype)
 
 

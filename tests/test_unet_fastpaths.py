@@ -25,7 +25,7 @@ class _NaiveUp(nn.Module):
         return torch_default_conv(C, (3, 3), C, name="conv")(x)
 
 
-@pytest.mark.parametrize("hw", [5, 8, 32])  # ≤32 hits the dilated branch
+@pytest.mark.parametrize("hw", [5, 8, 32])
 def test_upsample_dilated_matches_naive(hw):
     rng = np.random.default_rng(0)
     x = jnp.asarray(rng.standard_normal((3, hw, hw, 16)), jnp.float32)
@@ -39,7 +39,8 @@ def test_upsample_dilated_matches_naive(hw):
 
 
 def test_upsample_large_level_uses_same_params():
-    # >32² input takes the naive branch of _UpsampleConv; same params apply.
+    # the dilated form applies at every level (incl. >32² inputs) with the
+    # same (3,3,C,F) parameter tree as the nn.Conv it replaces.
     rng = np.random.default_rng(1)
     x = jnp.asarray(rng.standard_normal((1, 40, 40, 8)), jnp.float32)
     up = Upsample(use_conv=True)
