@@ -35,7 +35,15 @@ def main():
                compute_dtype="bfloat16")
     model, diffusion = create_model_and_diffusion(cfg)
 
-    B, K, C, H = 2, 20, 3, 128  # released-checkpoint training/sampling shape
+    # K/H = released-checkpoint shape; B=2 = its training batch and the best
+    # MEASURED single-launch throughput. (A 200-step-chunk sweep suggested
+    # B=4 wins after the fast paths freed the upsample-broadcast VMEM -
+    # B2 1370 / B4 1558 / B8 1495 f/s - but the one clean single-launch B=4
+    # run measured 1354 vs B=2's 1632, so B=2 stays the default until a
+    # same-hour single-launch A/B settles it. LFVDM_BENCH_B overrides.)
+    import os
+    B = int(os.environ.get("LFVDM_BENCH_B", "2"))
+    K, C, H = 20, 3, 128
     rng = np.random.default_rng(0)
     x0 = jnp.asarray(rng.standard_normal((B, K, C, H, H)), jnp.float32)
     t = jnp.zeros((B,), jnp.int32)
@@ -156,9 +164,9 @@ def main():
         "achieved_tflops": round(achieved_tflops, 1),
         "mfu_vs_v5e_bf16_peak": round(achieved_tflops / 197.0, 3),
         "device": str(jax.devices()[0]),
-        "config": "carla pixel 128px ch128 res1 K20 B2 bf16",
-        "note": "B=2 is the measured throughput optimum (bench_batch_sweep.py: "
-                "B4/B8 lose to VMEM pressure); ceiling analysis in BASELINE.md",
+        "config": f"carla pixel 128px ch128 res1 K20 B{B} bf16",
+        "note": "B=2 default (best measured single-launch; see bench.py comment "
+                "re the B=4 sweep-vs-single-launch discrepancy); ceiling analysis in BASELINE.md",
     }))
 
 

@@ -25,11 +25,19 @@ REPS = 5
 
 
 def main():
-    cfg = dict(image_size=128, in_channels=3, num_channels=128, num_res_blocks=1,
-               attention_resolutions="16,8", diffusion_steps=1000,
-               compute_dtype="bfloat16")
+    import argparse
+    ap = argparse.ArgumentParser()
+    ap.add_argument("--image_size", type=int, default=128)
+    ap.add_argument("--batch", type=int, default=2)
+    ap.add_argument("--frames", type=int, default=20)
+    ap.add_argument("--use_checkpoint", action="store_true")
+    args = ap.parse_args()
+    cfg = dict(image_size=args.image_size, in_channels=3, num_channels=128,
+               num_res_blocks=1, attention_resolutions="16,8",
+               diffusion_steps=1000, compute_dtype="bfloat16",
+               use_checkpoint=args.use_checkpoint)
     model, diffusion = create_model_and_diffusion(cfg)
-    B, K, C, H = 2, 20, 3, 128
+    B, K, C, H = args.batch, args.frames, 3, args.image_size
     rng = np.random.default_rng(0)
     x0 = jnp.asarray(rng.standard_normal((B, K, C, H, H)), jnp.float32)
     fi = jnp.asarray(np.sort(rng.integers(0, 300, (B, K)), axis=1), jnp.int32)
