@@ -76,36 +76,29 @@ def main():
     # speedup ratio. The delta comes from compiling the tiny per-level
     # upsample subgraphs both ways (seconds each) and differencing their
     # real XLA flop counts — no hand-rolled accounting convention.
+    from lfvdm_tpu.models.unet import dilated_upsample_conv, naive_upsample_conv
+
     NT = B * K
     ref_flops_per_call = flops_per_call
+    levels_corrected = 0
     ch_mult = (1, 1, 2, 3, 4)  # image_size=128 (config.py channel_mult table)
     res = H // (2 ** (len(ch_mult) - 1))
     for level in range(len(ch_mult) - 1, 0, -1):
         c = cfg["num_channels"] * ch_mult[level]
-        # every upsample level uses the dilated form (unet._UpsampleConv)
+        # every upsample level uses the dilated form (unet._UpsampleConv) —
+        # the subgraphs come from the model module so the accounting cannot
+        # drift from what the model actually runs
         xs = jnp.zeros((NT, res, res, c), jnp.bfloat16)
         w3 = jnp.zeros((3, 3, c, c), jnp.bfloat16)
-
-        def naive_up(x, w):
-            u = jnp.repeat(jnp.repeat(x, 2, 1), 2, 2)
-            return jax.lax.conv_general_dilated(
-                u, w, (1, 1), ((1, 1), (1, 1)),
-                dimension_numbers=("NHWC", "HWIO", "NHWC"))
-
-        def dilated_up(x, w):
-            w4 = jnp.zeros((4, 4, c, c), jnp.bfloat16)
-            return jax.lax.conv_general_dilated(
-                x, w4, (1, 1), ((2, 2), (2, 2)), lhs_dilation=(2, 2),
-                dimension_numbers=("NHWC", "HWIO", "NHWC"))
-
         try:
-            fl_n = float(jax.jit(naive_up).lower(xs, w3).compile()
+            fl_n = float(jax.jit(naive_upsample_conv).lower(xs, w3).compile()
                          .cost_analysis()["flops"])
-            fl_d = float(jax.jit(dilated_up).lower(xs, w3).compile()
+            fl_d = float(jax.jit(dilated_upsample_conv).lower(xs, w3).compile()
                          .cost_analysis()["flops"])
             ref_flops_per_call += fl_n - fl_d
+            levels_corrected += 1
         except Exception:
-            pass
+            pass  # reported via flop_correction_levels below
         res *= 2
 
     # timed sampler scan — the REAL production launch: the full 1000-step
@@ -161,6 +154,9 @@ def main():
         "sec_per_model_call": round(sec_per_call, 5),
         "flops_per_call": flops_per_call,
         "ref_flops_per_call": ref_flops_per_call,
+        # 4 expected; fewer means some level's FLOP delta silently failed
+        # and vs_baseline under-credits the dilated-upsample saving
+        "flop_correction_levels": levels_corrected,
         "achieved_tflops": round(achieved_tflops, 1),
         "mfu_vs_v5e_bf16_peak": round(achieved_tflops / 197.0, 3),
         "device": str(jax.devices()[0]),

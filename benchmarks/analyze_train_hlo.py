@@ -9,9 +9,6 @@ presence of the transpose marker.
 
 import _path  # noqa: F401  (repo root on sys.path)
 
-import collections
-import re
-
 import jax
 import jax.numpy as jnp
 import numpy as np
@@ -67,41 +64,15 @@ def main():
             out = step_j(state, batch, t, w, jax.random.fold_in(key, i))
         np.asarray(jax.tree.leaves(out[0]["params"])[0])
 
-    from trace_report import load_device_ops
+    from trace_report import load_device_ops, parse_hlo_lines, print_attribution
 
     tot, _ = load_device_ops(TRACE_DIR)
-
-    hlo_lines = {}
-    for line in hlo.splitlines():
-        m = re.match(r"\s*(?:ROOT )?%?([\w.\-]+) = (.*)", line)
-        if m:
-            hlo_lines[m.group(1)] = m.group(2)
-
-    total_ms = sum(tot.values()) / REPS / 1000
-    print(f"total device time: {total_ms:.2f} ms/step across {len(tot)} ops")
-
-    cats = collections.Counter()
-    for name, us in tot.items():
-        cats[re.sub(r"[.\d]+$", "", name)] += us
-    print(f"\n{'ms/step':>8}  {'%':>5}  category")
-    for base, us in cats.most_common(15):
-        print(f"{us/REPS/1000:8.2f}  {us/REPS/1000/total_ms*100:5.1f}  {base}")
-
-    mods = collections.Counter()
-    for name, us in tot.items():
-        line = hlo_lines.get(name, "")
-        m = re.search(r'UNetVideoModel/([^/"]+(?:/[^/"]+)?)', line)
-        key_ = m.group(1) if m else "(unattributed)"
-        is_bwd = "transpose(" in line or "vjp" in line
-        mods[(key_, "bwd" if is_bwd else "fwd")] += us
-    print(f"\n{'ms/step':>8}  {'%':>5}  dir  module")
-    for (key_, d), us in mods.most_common(50):
-        print(f"{us/REPS/1000:8.2f}  {us/REPS/1000/total_ms*100:5.1f}  {d}  {key_}")
-
-    print(f"\n{'ms/step':>8}  op  ::  hlo")
-    for name, us in tot.most_common(25):
-        line = hlo_lines.get(name, "?")
-        print(f"{us/REPS/1000:8.2f}  {name}\n          {line[:240]}")
+    print_attribution(
+        tot, parse_hlo_lines(hlo), REPS,
+        # bwd ops carry the autodiff marker 'transpose(jvp(' in their op_name
+        # metadata; bare 'transpose(' would also match ordinary forward HLO
+        # transpose instructions ('%transpose.8 = ... transpose(...)').
+        dir_marker=lambda line: "bwd" if ("transpose(jvp" in line or "vjp" in line) else "fwd")
 
 
 if __name__ == "__main__":

@@ -26,21 +26,26 @@ S = 40
 
 
 def timeit(fn, args, iters=30):
-    # Unrolled dependent chain (y feeds the next call's residual): no CSE,
-    # no scan-carry copies — a lax.scan harness here copied the full carry
-    # every step and measured ~200x the in-model op cost.
+    # Unrolled dependent chain where EVERY input rotates through the
+    # previous output (x1<-x2, x2<-y, resid<-y): all matmul operands differ
+    # each iteration, so XLA can neither CSE the matmuls nor DCE
+    # intermediate work. (Two broken harnesses preceded this one: a lax.scan carry
+    # copied ~200x the op cost, and a chain that only fed y->r let XLA CSE
+    # the loop-invariant dot(x1,w1)/dot(x2,w2) down to ONE matmul pair.)
+    # Requires c1 == c2 == F, which the bench shapes satisfy.
     def loop(x1, x2, w, b, r):
         y = r
         for _ in range(iters):
             y, s1, s2 = fn(x1, x2, w, b, y)
+            x1, x2 = x2, y
         return y, s1, s2
 
     fn_j = jax.jit(loop)
-    jax.block_until_ready(fn_j(*args))
-    best = float("inf")
+    np.asarray(fn_j(*args)[0])  # real fence (block_until_ready returns early
+    best = float("inf")         # on the tunneled runtime; see bench.py)
     for _ in range(3):
         t0 = time.perf_counter()
-        jax.block_until_ready(fn_j(*args))
+        np.asarray(fn_j(*args)[0])
         best = min(best, (time.perf_counter() - t0) / iters * 1000)
     return best
 

@@ -54,12 +54,10 @@ def timeit(fn, x, iters=60):
 
 
 def make_variants(w, b):
+    from lfvdm_tpu.models.unet import dilated_upsample_conv, naive_upsample_conv
+
     def naive(x):
-        u = jnp.repeat(jnp.repeat(x, 2, axis=1), 2, axis=2)
-        y = jax.lax.conv_general_dilated(
-            u, w, (1, 1), ((1, 1), (1, 1)),
-            dimension_numbers=("NHWC", "HWIO", "NHWC"))
-        return y + b
+        return naive_upsample_conv(x, w) + b
 
     m0 = jnp.array([[1., 0, 0], [0, 1, 1]], w.dtype)
     m1 = jnp.array([[1., 1, 0], [0, 0, 1]], w.dtype)
@@ -83,14 +81,8 @@ def make_variants(w, b):
         out = jnp.stack([a0, a1], axis=2)
         return out.reshape(N, 2 * H, 2 * W, F)
 
-    m4 = jnp.array([[1., 0, 0], [1, 1, 0], [0, 1, 1], [0, 0, 1]], w.dtype)
-
     def dilated(x):
-        k4 = jnp.einsum("rk,cl,klif->rcif", m4, m4, w)
-        y = jax.lax.conv_general_dilated(
-            x, k4, (1, 1), ((2, 2), (2, 2)), lhs_dilation=(2, 2),
-            dimension_numbers=("NHWC", "HWIO", "NHWC"))
-        return y + b
+        return dilated_upsample_conv(x, w) + b
 
     return naive, phase, dilated
 

@@ -51,6 +51,60 @@ def merged_busy_us(spans):
     return total
 
 
+def parse_hlo_lines(hlo_text):
+    """Map HLO instruction name -> its definition line (shape + operands)."""
+    import re
+
+    hlo_lines = {}
+    for line in hlo_text.splitlines():
+        m = re.match(r"\s*(?:ROOT )?%?([\w.\-]+) = (.*)", line)
+        if m:
+            hlo_lines[m.group(1)] = m.group(2)
+    return hlo_lines
+
+
+def print_attribution(tot, hlo_lines, reps, module_regex=r'UNetVideoModel/([^/"]+(?:/[^/"]+)?)',
+                      top_ops=25, dir_marker=None):
+    """Shared per-category / per-module / top-op report for analyze_hlo.py
+    and analyze_train_hlo.py — one implementation so regex or
+    fusion-renaming fixes apply to both.
+
+    ``dir_marker(line) -> str`` optionally labels each op's direction
+    (e.g. fwd/bwd from the autodiff metadata marker).
+    """
+    import collections
+    import re
+
+    total_ms = sum(tot.values()) / reps / 1000
+    unit = "ms/step" if dir_marker else "ms/fwd"
+    print(f"total device time: {total_ms:.2f} {unit} across {len(tot)} ops")
+
+    cats = collections.Counter()
+    for name, us in tot.items():
+        cats[re.sub(r"[.\d]+$", "", name)] += us
+    print(f"\n{unit:>8}  {'%':>5}  category")
+    for base, us in cats.most_common(20):
+        print(f"{us/reps/1000:8.2f}  {us/reps/1000/total_ms*100:5.1f}  {base}")
+
+    mods = collections.Counter()
+    for name, us in tot.items():
+        line = hlo_lines.get(name, "")
+        m = re.search(module_regex, line)
+        key = m.group(1) if m else "(unattributed)"
+        if dir_marker:
+            key = (key, dir_marker(line))
+        mods[key] += us
+    print(f"\n{unit:>8}  {'%':>5}  module")
+    for key, us in mods.most_common(50):
+        label = "  ".join(key) if isinstance(key, tuple) else key
+        print(f"{us/reps/1000:8.2f}  {us/reps/1000/total_ms*100:5.1f}  {label}")
+
+    print(f"\n{unit:>8}  op  ::  hlo")
+    for name, us in tot.most_common(top_ops):
+        line = hlo_lines.get(name, "?")
+        print(f"{us/reps/1000:8.2f}  {name}\n          {line[:240]}")
+
+
 def main():
     ap = argparse.ArgumentParser()
     ap.add_argument("trace_dir")

@@ -164,6 +164,37 @@ class Downsample(nn.Module):
         return nn.avg_pool(x, (2, 2), strides=(2, 2))
 
 
+def upsample_m4():
+    """The per-axis phase-combination matrix of the transposed-conv upsample:
+    nearest_up(x) ⋆ w == zero_stuff(x) ⋆ (M₄ w M₄ᵀ)."""
+    return jnp.array([[1.0, 0, 0], [1, 1, 0], [0, 1, 1], [0, 0, 1]],
+                     jnp.float32)
+
+
+def naive_upsample_conv(x, w):
+    """Reference form: materialized nearest-2x broadcast + SAME 3x3 conv.
+
+    Canonical definition shared by the model tests and the FLOP-fairness
+    accounting in bench.py — keep in sync with ``dilated_upsample_conv``.
+    """
+    u = jnp.repeat(jnp.repeat(x, 2, axis=1), 2, axis=2)
+    return jax.lax.conv_general_dilated(
+        u, w, (1, 1), ((1, 1), (1, 1)),
+        dimension_numbers=("NHWC", "HWIO", "NHWC"))
+
+
+def dilated_upsample_conv(x, w):
+    """The transposed-conv form _UpsampleConv uses: ONE lhs-dilation-2 conv
+    with the folded 4x4 kernel M₄ w M₄ᵀ. Exactly equals
+    ``naive_upsample_conv(x, w)``."""
+    m4 = upsample_m4().astype(jnp.float32)
+    k4 = jnp.einsum("rk,cl,klif->rcif", m4, m4,
+                    w.astype(jnp.float32)).astype(w.dtype)
+    return jax.lax.conv_general_dilated(
+        x, k4, window_strides=(1, 1), padding=((2, 2), (2, 2)),
+        lhs_dilation=(2, 2), dimension_numbers=("NHWC", "HWIO", "NHWC"))
+
+
 class _UpsampleConv(nn.Module):
     """Nearest-2x-upsample + 3x3 conv as ONE transposed conv (every level).
 
@@ -197,13 +228,7 @@ class _UpsampleConv(nn.Module):
         fan_in = 9 * self.in_features
         b = self.param("bias", torch_style_bias_init_for(fan_in), (F,), jnp.float32)
 
-        m4 = jnp.array([[1.0, 0, 0], [1, 1, 0], [0, 1, 1], [0, 0, 1]],
-                       jnp.float32)
-        k4 = jnp.einsum("rk,cl,klif->rcif", m4, m4, w).astype(self.dtype)
-        y = jax.lax.conv_general_dilated(
-            x.astype(self.dtype), k4, window_strides=(1, 1),
-            padding=((2, 2), (2, 2)), lhs_dilation=(2, 2),
-            dimension_numbers=("NHWC", "HWIO", "NHWC"))
+        y = dilated_upsample_conv(x.astype(self.dtype), w.astype(self.dtype))
         return y + b.astype(self.dtype)
 
 

@@ -5,7 +5,9 @@ Replaces the reference's ``skip_connection(x) + h`` for the up-path ResBlock
 (/root/reference/improved_diffusion/unet.py:204-207) where x is the skip
 concat. The op is pure HBM traffic (matmul K≤1024, F≤512): XLA's conv
 emitter runs it at ~76% of bandwidth at 128² (measured 1.08 ms vs a 0.82 ms
-roofline on v5e); a flat tiled matmul+add kernel recovers most of the gap.
+roofline on v5e); this kernel runs the op at 0.96 ms in the same in-model
+trace — but loses far more than that at its custom-call boundaries, so it
+ships OFF (see ``mode``).
 The kernel also emits the per-(sample, channel) (Σy, Σy²) of its OUTPUT —
 the next block's GroupNorm statistics (see models/nn.py channel_sums) —
 because a custom call is an XLA fusion barrier: without emitting them here,
@@ -39,10 +41,11 @@ def mode():
     constraints add ~4 ms of relayout copies feeding the kernel, and the
     output convert to f32 un-fuses from the next GroupNorm) or 35.30 ms
     ("xla": the flattened two-matmul form loses the conv emitter's native
-    tiled layouts entirely, 6.5 ms of copies). The kernel itself hits HBM
-    bandwidth standalone (microbench_skipconv.py) — the loss is pure
-    custom-call fusion/layout barrier, same verdict as the attention
-    kernels at 128² (models/rpe.py). Opt in with
+    tiled layouts entirely, 6.5 ms of copies). The kernel ITSELF is fine —
+    in the same trace the custom calls run 0.96 ms vs 1.08 ms for XLA's
+    in-model conv fusion of this op — the loss is purely the custom-call
+    fusion/layout boundary, same verdict as the attention kernels at 128²
+    (models/rpe.py). Opt in with
     ``LFVDM_PALLAS_SKIPCONV=1`` (pallas) or ``=xla`` to reproduce.
 
     Note the pallas path is also single-device only: a pallas_call is an
