@@ -222,7 +222,7 @@ class _UpsampleConv(nn.Module):
 
     @nn.compact
     def __call__(self, x):
-        N, H, W, C = x.shape
+        C = x.shape[-1]
         F = self.features
         w = self.param("kernel", torch_style_conv_init, (3, 3, C, F), jnp.float32)
         fan_in = 9 * self.in_features
@@ -263,7 +263,7 @@ class Upsample(nn.Module):
 
     @nn.compact
     def __call__(self, x):
-        N, H, W, C = x.shape
+        C = x.shape[-1]
         if self.use_conv:
             return _UpsampleConv(features=C, in_features=C,
                                  dtype=self.dtype, name="conv")(x)
