@@ -24,6 +24,42 @@ import numpy as np
 A100_EFFECTIVE_FLOPS = 35e12  # assumed eager-torch effective throughput
 
 
+def upsample_flop_correction(NT, H, num_channels, ch_mult=(1, 1, 2, 3, 4)):
+    """XLA-measured FLOP delta (naive repeat+conv − dilated form) summed over
+    every upsample level, plus the count of levels that yielded a delta.
+
+    The baseline is the REFERENCE implementation's sampler, so its FLOP
+    count must be the reference op mix: the transposed-conv Upsample
+    (models/unet.py) computes the same function with fewer MACs, so this
+    delta is added back to the baseline numerator to keep ``vs_baseline`` a
+    fair same-function speedup ratio. The subgraphs come from the model
+    module itself so the accounting cannot drift from what the model runs.
+    """
+    import jax
+    import jax.numpy as jnp
+
+    from lfvdm_tpu.models.unet import dilated_upsample_conv, naive_upsample_conv
+
+    delta = 0.0
+    levels = 0
+    res = H // (2 ** (len(ch_mult) - 1))
+    for level in range(len(ch_mult) - 1, 0, -1):
+        c = num_channels * ch_mult[level]
+        xs = jnp.zeros((NT, res, res, c), jnp.bfloat16)
+        w3 = jnp.zeros((3, 3, c, c), jnp.bfloat16)
+        try:
+            fl_n = float(jax.jit(naive_upsample_conv).lower(xs, w3).compile()
+                         .cost_analysis()["flops"])
+            fl_d = float(jax.jit(dilated_upsample_conv).lower(xs, w3).compile()
+                         .cost_analysis()["flops"])
+            delta += fl_n - fl_d
+            levels += 1
+        except Exception:
+            pass  # reported via flop_correction_levels in the JSON
+        res *= 2
+    return delta, levels
+
+
 def main():
     import jax
     import jax.numpy as jnp
@@ -68,38 +104,9 @@ def main():
     except Exception:
         flops_per_call = float("nan")
 
-    # The baseline is the REFERENCE implementation's sampler on A100, so its
-    # FLOP count must be the reference op mix. The transposed-conv Upsample
-    # (models/unet.py _UpsampleConv) computes the same function with fewer
-    # MACs than the reference's repeat+3x3 form on small levels; add the
-    # cost-analysis delta back so vs_baseline stays a fair same-function
-    # speedup ratio. The delta comes from compiling the tiny per-level
-    # upsample subgraphs both ways (seconds each) and differencing their
-    # real XLA flop counts — no hand-rolled accounting convention.
-    from lfvdm_tpu.models.unet import dilated_upsample_conv, naive_upsample_conv
-
-    NT = B * K
-    ref_flops_per_call = flops_per_call
-    levels_corrected = 0
-    ch_mult = (1, 1, 2, 3, 4)  # image_size=128 (config.py channel_mult table)
-    res = H // (2 ** (len(ch_mult) - 1))
-    for level in range(len(ch_mult) - 1, 0, -1):
-        c = cfg["num_channels"] * ch_mult[level]
-        # every upsample level uses the dilated form (unet._UpsampleConv) —
-        # the subgraphs come from the model module so the accounting cannot
-        # drift from what the model actually runs
-        xs = jnp.zeros((NT, res, res, c), jnp.bfloat16)
-        w3 = jnp.zeros((3, 3, c, c), jnp.bfloat16)
-        try:
-            fl_n = float(jax.jit(naive_upsample_conv).lower(xs, w3).compile()
-                         .cost_analysis()["flops"])
-            fl_d = float(jax.jit(dilated_upsample_conv).lower(xs, w3).compile()
-                         .cost_analysis()["flops"])
-            ref_flops_per_call += fl_n - fl_d
-            levels_corrected += 1
-        except Exception:
-            pass  # reported via flop_correction_levels below
-        res *= 2
+    delta, levels_corrected = upsample_flop_correction(
+        B * K, H, cfg["num_channels"])
+    ref_flops_per_call = flops_per_call + delta
 
     # timed sampler scan — the REAL production launch: the full 1000-step
     # reverse trajectory is ONE compiled lax.scan (one device launch), so
