@@ -63,8 +63,9 @@ def real_dataset_name(dataset_name: str) -> str:
 
 
 def compute_fvd(eval_dir: Path, dataset_name: str, num_videos: int, sample_idx: int,
-                T: int, i3d_weights=None) -> float:
-    batch_size = BATCH_SIZES.get(dataset_name, 8)
+                T: int, i3d_weights=None, batch_size=None) -> float:
+    if batch_size is None:
+        batch_size = BATCH_SIZES.get(dataset_name, 8)
     fvd = FVD(i3d_weights=i3d_weights, batch_size=batch_size)
     samples = SampleDataset(eval_dir / "samples", sample_idx, num_videos)
     test_set = get_test_dataset(real_dataset_name(dataset_name), T=T)
@@ -86,10 +87,7 @@ def compute_fvd(eval_dir: Path, dataset_name: str, num_videos: int, sample_idx: 
     return frechet_distance(np.concatenate(fake_feats), np.concatenate(real_feats))
 
 
-def main():
-    from lfvdm_tpu.config import apply_platform_env
-
-    apply_platform_env()  # $LFVDM_PLATFORM=cpu forces CPU (config-level)
+def create_argparser():
     parser = argparse.ArgumentParser()
     parser.add_argument("--eval_dir", required=True, type=str)
     parser.add_argument("--num_videos", type=int, default=100)
@@ -97,7 +95,17 @@ def main():
     parser.add_argument("--T", type=int, default=None)
     parser.add_argument("--dataset", type=str, default=None)
     parser.add_argument("--i3d_weights", type=str, default=None)
-    args = parser.parse_args()
+    parser.add_argument("--batch_size", type=int, default=None,
+                        help="videos per I3D feature batch (default: the "
+                             "per-dataset table, reference video_fvd.py:34)")
+    return parser
+
+
+def main():
+    from lfvdm_tpu.config import apply_platform_env
+
+    apply_platform_env()  # $LFVDM_PLATFORM=cpu forces CPU (config-level)
+    args = create_argparser().parse_args()
 
     eval_dir = Path(args.eval_dir)
     out_path = eval_dir / f"fvd-{args.num_videos}-{args.sample_idx}.txt"
@@ -111,6 +119,7 @@ def main():
     T = args.T or config.get("T")
 
     score = compute_fvd(eval_dir, dataset, args.num_videos, args.sample_idx, T,
+                        batch_size=args.batch_size,
                         i3d_weights=args.i3d_weights)
     out_path.write_text(f"{score}\n")
     print(f"FVD: {score} (saved to {out_path})")

@@ -92,10 +92,7 @@ def visualise(args, indices_used):
         print(f"saved {out_dir / fname}")
 
 
-def main():
-    from lfvdm_tpu.config import apply_platform_env
-
-    apply_platform_env()  # $LFVDM_PLATFORM=cpu forces CPU (config-level)
+def create_argparser():
     parser = argparse.ArgumentParser()
     parser.add_argument("checkpoint_path", type=str)
     parser.add_argument("--sampling_scheme", required=True, choices=sampling_schemes.keys())
@@ -128,7 +125,14 @@ def main():
                              "(scripts/convert_svd_vae.py); defaults to "
                              "$LFVDM_VAE_WEIGHTS. Needed for pixel decode of "
                              "latent-space checkpoints")
-    args = parser.parse_args()
+    return parser
+
+
+def main():
+    from lfvdm_tpu.config import apply_platform_env
+
+    apply_platform_env()  # $LFVDM_PLATFORM=cpu forces CPU (config-level)
+    args = create_argparser().parse_args()
 
     from lfvdm_tpu.config import enable_compilation_cache
 

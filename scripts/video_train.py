@@ -67,6 +67,8 @@ def create_argparser():
         use_wandb=False,
         resume_id="",  # resume the run with this id (wandb run id == ckpt dir key)
         unobserve=False,  # wandb dryrun mode (reference video_train.py:25-29)
+        enc_dec_chunk_size=20,  # frames per VAE encode/decode chunk (online
+                                # latent mode; reference video_train.py:158)
         profile_dir="",  # capture a jax.profiler device trace around step 10
         log_attn=False,  # save per-quartile attention heatmaps at vis sampling
         compilation_cache_dir="",  # persistent XLA compile cache (big TPU win)
@@ -150,7 +152,8 @@ def main():
     config = vars(args)
     model, diffusion = create_model_and_diffusion(config)
     codec = make_codec(args.diffusion_space, pre_encoded=args.pre_encoded,
-                       pre_encoded_stats=stats)
+                       pre_encoded_stats=stats,
+                       chunk_size=args.enc_dec_chunk_size)
 
     logger.configure(
         log_dir=args.checkpoint_dir, use_wandb=args.use_wandb,
