@@ -29,10 +29,13 @@ def mark_as_observed(images: np.ndarray, color=(255, 0, 0)):
 
 
 def tensor2avi(tensor: np.ndarray, path, drange=(0, 255)):
-    import imageio
-
     frames = _to_uint8_thwc(tensor, drange)
-    imageio.mimwrite(str(path), frames, fps=10)
+    try:
+        import imageio
+
+        imageio.mimwrite(str(path), frames, fps=10)
+    except (ImportError, ValueError):
+        _cv2_write(frames, path, fourcc="MJPG")
 
 
 def tensor2gif(tensor: np.ndarray, path, drange=(0, 255), random_str=""):
@@ -56,11 +59,33 @@ def tensor2mp4(tensor: np.ndarray, path, drange=(0, 255), random_str="tmp"):
             check=True, capture_output=True,
         )
     except (FileNotFoundError, subprocess.CalledProcessError):
-        import imageio
+        try:
+            import imageio
 
-        imageio.mimwrite(str(path), _to_uint8_thwc(tensor, drange), fps=10)
+            imageio.mimwrite(str(path), _to_uint8_thwc(tensor, drange), fps=10)
+        except (ImportError, ValueError):
+            # no ffmpeg CLI and no imageio ffmpeg plugin: OpenCV ships its
+            # own encoder, so mp4 export still works in hermetic envs
+            _cv2_write(_to_uint8_thwc(tensor, drange), path, fourcc="mp4v")
     finally:
         gif_path.unlink(missing_ok=True)
+
+
+def _cv2_write(frames_thwc: np.ndarray, path, fourcc: str, fps: int = 10):
+    import cv2
+
+    T, H, W, C = frames_thwc.shape
+    writer = cv2.VideoWriter(str(path), cv2.VideoWriter_fourcc(*fourcc),
+                             fps, (W, H))
+    if not writer.isOpened():
+        raise RuntimeError(f"cv2.VideoWriter could not open {path}")
+    try:
+        for f in frames_thwc:
+            if C == 1:
+                f = np.repeat(f, 3, axis=-1)
+            writer.write(f[:, :, ::-1])  # RGB -> BGR
+    finally:
+        writer.release()
 
 
 def _to_uint8_thwc(tensor: np.ndarray, drange) -> np.ndarray:
@@ -69,15 +94,3 @@ def _to_uint8_thwc(tensor: np.ndarray, drange) -> np.ndarray:
     lo, hi = drange
     t = (t - lo) / (hi - lo) * 255.0
     return t.clip(0, 255).astype(np.uint8).transpose(0, 2, 3, 1)
-
-
-def assemble_grid(gt: np.ndarray, samples: list, pad: int = 2) -> np.ndarray:
-    """Stack ground truth above sample rows: list of (T,C,H,W) -> (T,C,H',W)."""
-    rows = [gt] + list(samples)
-    T, C, H, W = rows[0].shape
-    padded = []
-    for r in rows:
-        p = np.zeros((T, C, H + pad, W), r.dtype)
-        p[:, :, :H] = r
-        padded.append(p)
-    return np.concatenate(padded, axis=2)

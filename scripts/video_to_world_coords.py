@@ -19,10 +19,7 @@ import numpy as np
 from lfvdm_tpu.evals.carla_regressor import load_classifier_regressor_like_paper
 
 
-def main():
-    from lfvdm_tpu.config import apply_platform_env
-
-    apply_platform_env()  # $LFVDM_PLATFORM=cpu forces CPU (config-level)
+def create_argparser():
     parser = argparse.ArgumentParser()
     parser.add_argument("--eval_dir", type=str, default=None,
                         help="Samples directory (reads samples/*.npy).")
@@ -31,7 +28,14 @@ def main():
     parser.add_argument("--classifier_path", type=str, required=True)
     parser.add_argument("--regressor_path", type=str, required=True)
     parser.add_argument("--batch_size", type=int, default=64)
-    args = parser.parse_args()
+    return parser
+
+
+def main():
+    from lfvdm_tpu.config import apply_platform_env
+
+    apply_platform_env()  # $LFVDM_PLATFORM=cpu forces CPU (config-level)
+    args = create_argparser().parse_args()
 
     predictor = load_classifier_regressor_like_paper(
         args.classifier_path, args.regressor_path, batch_size=args.batch_size

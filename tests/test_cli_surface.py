@@ -67,7 +67,8 @@ def _accepted(parser):
 
 
 @pytest.mark.parametrize("script", ["video_train.py", "video_sample.py",
-                                    "video_fvd.py"])
+                                    "video_fvd.py", "video_make_mp4.py",
+                                    "video_to_world_coords.py"])
 def test_reference_flags_accepted(script):
     ref = _ref_flags(script)
     ours = _accepted(_our_parser(script))
