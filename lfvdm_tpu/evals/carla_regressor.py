@@ -36,19 +36,17 @@ def get_cell(coord: np.ndarray) -> int:
     return int(nz[0]) if len(nz) else 0
 
 
-class BatchNorm(nn.Module):
-    """Frozen inference-mode BatchNorm (torchvision eval semantics)."""
+def BatchNorm(features, name=None, train: bool = False):
+    """torchvision BatchNorm semantics: eval mode uses running stats;
+    train mode normalizes by batch stats and updates running stats with
+    torch's momentum=0.1 (flax ``momentum`` = 1 - torch momentum).
 
-    features: int
-    eps: float = 1e-5
-
-    @nn.compact
-    def __call__(self, x):
-        scale = self.param("scale", nn.initializers.ones, (self.features,))
-        bias = self.param("bias", nn.initializers.zeros, (self.features,))
-        mean = self.variable("batch_stats", "mean", lambda: jnp.zeros((self.features,))).value
-        var = self.variable("batch_stats", "var", lambda: jnp.ones((self.features,))).value
-        return (x - mean) * jax.lax.rsqrt(var + self.eps) * scale + bias
+    Variable layout (params scale/bias, batch_stats mean/var) matches
+    :func:`convert_resnet152_state_dict`.
+    """
+    del features  # inferred from the input by flax
+    return nn.BatchNorm(use_running_average=not train, momentum=0.9,
+                        epsilon=1e-5, name=name)
 
 
 class Bottleneck(nn.Module):
@@ -57,22 +55,23 @@ class Bottleneck(nn.Module):
     downsample: bool = False
 
     @nn.compact
-    def __call__(self, x):
+    def __call__(self, x, train: bool = False):
         residual = x
         y = nn.Conv(self.features, (1, 1), use_bias=False, name="conv1")(x)
-        y = BatchNorm(self.features, name="bn1")(y)
+        y = BatchNorm(self.features, name="bn1", train=train)(y)
         y = nn.relu(y)
         y = nn.Conv(self.features, (3, 3), strides=(self.strides, self.strides),
                     padding=((1, 1), (1, 1)), use_bias=False, name="conv2")(y)
-        y = BatchNorm(self.features, name="bn2")(y)
+        y = BatchNorm(self.features, name="bn2", train=train)(y)
         y = nn.relu(y)
         y = nn.Conv(self.features * 4, (1, 1), use_bias=False, name="conv3")(y)
-        y = BatchNorm(self.features * 4, name="bn3")(y)
+        y = BatchNorm(self.features * 4, name="bn3", train=train)(y)
         if self.downsample:
             residual = nn.Conv(self.features * 4, (1, 1),
                                strides=(self.strides, self.strides),
                                use_bias=False, name="downsample_conv")(x)
-            residual = BatchNorm(self.features * 4, name="downsample_bn")(residual)
+            residual = BatchNorm(self.features * 4, name="downsample_bn",
+                                 train=train)(residual)
         return nn.relu(y + residual)
 
 
@@ -82,10 +81,10 @@ class ResNet152Trunk(nn.Module):
     stage_sizes: Sequence[int] = (3, 8, 36, 3)
 
     @nn.compact
-    def __call__(self, x):  # (B, H, W, 3), ImageNet-normalized
+    def __call__(self, x, train: bool = False):  # (B, H, W, 3), ImageNet-normalized
         x = nn.Conv(64, (7, 7), strides=(2, 2), padding=((3, 3), (3, 3)),
                     use_bias=False, name="conv1")(x)
-        x = BatchNorm(64, name="bn1")(x)
+        x = BatchNorm(64, name="bn1", train=train)(x)
         x = nn.relu(x)
         x = jnp.pad(x, ((0, 0), (1, 1), (1, 1), (0, 0)), constant_values=-jnp.inf)
         x = nn.max_pool(x, (3, 3), strides=(2, 2))
@@ -95,7 +94,7 @@ class ResNet152Trunk(nn.Module):
                 strides = 2 if stage > 0 and block == 0 else 1
                 x = Bottleneck(features, strides=strides,
                                downsample=(block == 0),
-                               name=f"layer{stage + 1}_{block}")(x)
+                               name=f"layer{stage + 1}_{block}")(x, train=train)
         return jnp.mean(x, axis=(1, 2))  # (B, 2048)
 
 
@@ -103,8 +102,8 @@ class ResNet152Classifier(nn.Module):
     num_classes: int = 100
 
     @nn.compact
-    def __call__(self, x):
-        emb = ResNet152Trunk(name="trunk")(x)
+    def __call__(self, x, train: bool = False):
+        emb = ResNet152Trunk(name="trunk")(x, train=train)
         return nn.Dense(self.num_classes, name="fc")(emb)
 
 
@@ -114,8 +113,8 @@ class MultiHeadResNet152(nn.Module):
     num_heads: int = 100
 
     @nn.compact
-    def __call__(self, x, cells):
-        emb = ResNet152Trunk(name="trunk")(x)  # (B, 2048)
+    def __call__(self, x, cells, train: bool = False):
+        emb = ResNet152Trunk(name="trunk")(x, train=train)  # (B, 2048)
         kernels = self.param("head_kernels", nn.initializers.lecun_normal(),
                              (self.num_heads, 2048, 2))
         biases = self.param("head_biases", nn.initializers.zeros, (self.num_heads, 2))

@@ -99,48 +99,58 @@ def main():
     tx = optax.sgd(schedule, momentum=0.9)
     opt_state = tx.init(variables["params"])
 
+    # BatchNorm runs in train mode (batch stats + running-stat updates),
+    # matching the reference's torch model.train() (carla_regressor.py:239);
+    # eval uses the running averages like model.eval().
     @jax.jit
-    def train_step(params, opt_state, frames, coords, cells):
+    def train_step(params, batch_stats, opt_state, frames, coords, cells):
         def loss_fn(p):
-            v = {**variables, "params": p}
+            v = {"params": p, "batch_stats": batch_stats}
             if args.is_classifier:
-                logits = model.apply(v, frames)
+                logits, mut = model.apply(v, frames, train=True,
+                                          mutable=["batch_stats"])
                 onehot = jax.nn.one_hot(cells, 100)
-                return optax.sigmoid_binary_cross_entropy(logits, onehot).mean()
-            pred = model.apply(v, frames, cells)
-            return jnp.mean((pred - coords) ** 2)
+                loss = optax.sigmoid_binary_cross_entropy(logits, onehot).mean()
+            else:
+                pred, mut = model.apply(v, frames, cells, train=True,
+                                        mutable=["batch_stats"])
+                loss = jnp.mean((pred - coords) ** 2)
+            return loss, mut["batch_stats"]
 
-        loss, grads = jax.value_and_grad(loss_fn)(params)
+        (loss, new_stats), grads = jax.value_and_grad(loss_fn, has_aux=True)(params)
         updates, opt_state = tx.update(grads, opt_state, params)
-        return optax.apply_updates(params, updates), opt_state, loss
+        return optax.apply_updates(params, updates), new_stats, opt_state, loss
 
     @jax.jit
-    def eval_loss(params, frames, coords, cells):
-        v = {**variables, "params": params}
+    def eval_loss(params, batch_stats, frames, coords, cells):
+        v = {"params": params, "batch_stats": batch_stats}
         if args.is_classifier:
             logits = model.apply(v, frames)
             return optax.sigmoid_binary_cross_entropy(logits, jax.nn.one_hot(cells, 100)).mean()
         return jnp.mean((model.apply(v, frames, cells) - coords) ** 2)
 
     params = variables["params"]
+    batch_stats = variables["batch_stats"]
     best_loss = np.inf
     os.makedirs(args.out_dir, exist_ok=True)
     for epoch in range(args.num_epochs):
         train_loss, n = 0.0, 0
         for frames, coords, cells in batches(train_set, args.batch_size, rng):
-            params, opt_state, loss = train_step(params, opt_state, frames, coords, cells)
+            params, batch_stats, opt_state, loss = train_step(
+                params, batch_stats, opt_state, frames, coords, cells)
             train_loss += float(loss) * len(frames)
             n += len(frames)
         test_loss, m = 0.0, 0
         for frames, coords, cells in batches(test_set, args.batch_size, rng, shuffle=False):
-            test_loss += float(eval_loss(params, frames, coords, cells)) * len(frames)
+            test_loss += float(eval_loss(params, batch_stats, frames, coords, cells)) * len(frames)
             m += len(frames)
         train_loss, test_loss = train_loss / max(n, 1), test_loss / max(m, 1)
         print(f"epoch {epoch}: train {train_loss:.4f} test {test_loss:.4f}")
         if test_loss < best_loss:
             best_loss = test_loss
             with open(os.path.join(args.out_dir, f"model_{epoch}.npz"), "wb") as f:
-                flat = jax.tree_util.tree_flatten_with_path({**variables, "params": params})[0]
+                flat = jax.tree_util.tree_flatten_with_path(
+                    {"params": params, "batch_stats": batch_stats})[0]
                 np.savez(f, **{jax.tree_util.keystr(k): np.asarray(v) for k, v in flat})
     print(f"best test loss: {best_loss:.4f}")
 

@@ -131,6 +131,42 @@ def test_batchnorm_eval_semantics_match_torch():
                                rtol=1e-4, atol=1e-5)
 
 
+def test_batchnorm_train_semantics_match_torch():
+    """Train-mode BN (batch stats + running-stat update, torch momentum 0.1)
+    matches torch — the regressor-training path (scripts/carla_regressor_train.py),
+    where a random-init 152-layer trunk would blow up under frozen init stats."""
+    from lfvdm_tpu.evals.carla_regressor import BatchNorm
+
+    C = 8
+    x = RNG.standard_normal((4, C, 5, 5)).astype(np.float32)
+    weight = RNG.standard_normal((C,)).astype(np.float32)
+    bias = RNG.standard_normal((C,)).astype(np.float32)
+    mean = RNG.standard_normal((C,)).astype(np.float32)
+    var = RNG.uniform(0.5, 2.0, (C,)).astype(np.float32)
+
+    tbn = torch.nn.BatchNorm2d(C)
+    tbn.train()
+    with torch.no_grad():
+        tbn.weight.copy_(_t(weight)), tbn.bias.copy_(_t(bias))
+        tbn.running_mean.copy_(_t(mean)), tbn.running_var.copy_(_t(var))
+        want = tbn(_t(x)).numpy()
+        want_mean = tbn.running_mean.numpy().copy()
+        want_var = tbn.running_var.numpy().copy()
+
+    got, mut = BatchNorm(C, train=True).apply(
+        {"params": {"scale": jnp.asarray(weight), "bias": jnp.asarray(bias)},
+         "batch_stats": {"mean": jnp.asarray(mean), "var": jnp.asarray(var)}},
+        jnp.asarray(x.transpose(0, 2, 3, 1)), mutable=["batch_stats"])
+    np.testing.assert_allclose(np.asarray(got).transpose(0, 3, 1, 2), want,
+                               rtol=1e-4, atol=1e-4)
+    np.testing.assert_allclose(np.asarray(mut["batch_stats"]["mean"]), want_mean,
+                               rtol=1e-4, atol=1e-5)
+    # torch updates running_var with the UNBIASED batch variance; flax uses
+    # the biased one — for N=100 samples/channel the relative gap is 1/99.
+    np.testing.assert_allclose(np.asarray(mut["batch_stats"]["var"]), want_var,
+                               rtol=2e-2, atol=1e-3)
+
+
 def test_resnet_bottleneck_block_parity_with_torch():
     """One converted bottleneck (stride-2, downsample) matches a hand-built
     torch equivalent of torchvision's Bottleneck in eval mode."""
