@@ -68,7 +68,13 @@ def load_encoding_stats(dataset_name: str):
         return None
     path = _data_root_path(rel)
     if not os.path.exists(path):
-        return None
+        # DATA_ROOT is a lazily-populated scratch cache — the stats file
+        # lives at the source layout until something copies it. Read the
+        # source directly rather than silently training with identity stats.
+        if path != rel and os.path.exists(rel):
+            path = rel
+        else:
+            return None
     import torch
 
     raw = torch.load(path, map_location="cpu", weights_only=False)
@@ -124,6 +130,17 @@ class BaseVideoDataset:
         dataset can't be streamed natively (non-.npy storage)."""
         return None
 
+    def resolve_existing(self, path: Path) -> Optional[Path]:
+        """Where ``path`` actually exists right now: the DATA_ROOT cache copy
+        if present, else the source file (cache may be lazily cold — only
+        ``__getitem__`` populates it), else None. The native loader streams
+        with partial window reads, so reading straight from the source is
+        correct; it just skips the scratch-cache locality win."""
+        if path.exists():
+            return path
+        src = self.get_src_path(path)
+        return src if src != path and src.exists() else None
+
     def get_video_subsequence(self, video: np.ndarray, T: Optional[int]) -> np.ndarray:
         if T is None or T >= len(video):
             return video
@@ -161,8 +178,9 @@ class CarlaDataset(BaseVideoDataset):
         # item; datasets/carla/convert_pt_to_npy.py writes .npy siblings that
         # the C++ loader streams with O(window) partial reads. Auto-detected
         # when every video has one.
-        paths = [self.getitem_path(i).with_suffix(".npy") for i in range(len(self))]
-        if paths and all(p.exists() for p in paths):
+        paths = [self.resolve_existing(self.getitem_path(i).with_suffix(".npy"))
+                 for i in range(len(self))]
+        if paths and all(p is not None for p in paths):
             return [str(p) for p in paths]
         return None
 
@@ -190,7 +208,10 @@ class NpyPerVideoDataset(BaseVideoDataset):
         return self.path / f"{idx}.npy"
 
     def native_paths(self):
-        return [str(self.getitem_path(i)) for i in range(len(self))]
+        paths = [self.resolve_existing(self.getitem_path(i)) for i in range(len(self))]
+        if paths and all(p is not None for p in paths):
+            return [str(p) for p in paths]
+        return None
 
     def loaditem(self, path):
         return np.load(path)

@@ -38,10 +38,23 @@ def tensor2avi(tensor: np.ndarray, path, drange=(0, 255)):
         _cv2_write(frames, path, fourcc="MJPG")
 
 
+def _as_rgb(frames_thwc: np.ndarray) -> np.ndarray:
+    """(T, H, W, C) uint8 for any C -> 3-channel RGB view for encoders:
+    grayscale repeats, 2-channel (debug/synthetic) pads a zero blue channel,
+    >3 (latent-space saves) keeps the first three."""
+    C = frames_thwc.shape[-1]
+    if C == 1:
+        return np.repeat(frames_thwc, 3, axis=-1)
+    if C == 2:
+        zero = np.zeros_like(frames_thwc[..., :1])
+        return np.concatenate([frames_thwc, zero], axis=-1)
+    return frames_thwc[..., :3]
+
+
 def tensor2gif(tensor: np.ndarray, path, drange=(0, 255), random_str=""):
     from PIL import Image
 
-    frames = [Image.fromarray(f) for f in _to_uint8_thwc(tensor, drange)]
+    frames = [Image.fromarray(f) for f in _as_rgb(_to_uint8_thwc(tensor, drange))]
     frames[0].save(str(path), save_all=True, append_images=frames[1:],
                    duration=100, loop=0)
 
@@ -74,15 +87,14 @@ def tensor2mp4(tensor: np.ndarray, path, drange=(0, 255), random_str="tmp"):
 def _cv2_write(frames_thwc: np.ndarray, path, fourcc: str, fps: int = 10):
     import cv2
 
-    T, H, W, C = frames_thwc.shape
+    frames_thwc = _as_rgb(frames_thwc)
+    T, H, W, _ = frames_thwc.shape
     writer = cv2.VideoWriter(str(path), cv2.VideoWriter_fourcc(*fourcc),
                              fps, (W, H))
     if not writer.isOpened():
         raise RuntimeError(f"cv2.VideoWriter could not open {path}")
     try:
         for f in frames_thwc:
-            if C == 1:
-                f = np.repeat(f, 3, axis=-1)
             writer.write(f[:, :, ::-1])  # RGB -> BGR
     finally:
         writer.release()

@@ -77,6 +77,9 @@ def main():
             rows.append(gt8)
         seed, done = 0, 0
         while done < args.n_seeds:
+            assert seed < 100, (
+                f"Not enough seeds for idx {data_idx} "
+                f"(found {done} after trying {seed} seeds)")
             fname = eval_dir / "samples" / f"sample_{data_idx:04d}-{seed}.npy"
             if fname.exists():
                 video = np.load(fname)
@@ -84,9 +87,6 @@ def main():
                 rows.append(video)
                 done += 1
             seed += 1
-            assert seed < 100, (
-                f"Not enough seeds for idx {data_idx} "
-                f"(found {done} after trying {seed} seeds)")
         T = min(r.shape[0] for r in rows)
         videos.append(np.concatenate([r[:T] for r in rows], axis=-2))
     video = np.concatenate(videos, axis=-1)

@@ -152,3 +152,43 @@ def test_native_paths_autodetect(tmp_path):
         np.save((tmp_path / f).with_suffix(".npy"), arr)
     paths = ds.native_paths()
     assert paths is not None and len(paths) == len(ds)
+
+
+def test_load_encoding_stats_cold_data_root(tmp_path, monkeypatch):
+    """Stats at the SOURCE layout must be found even when DATA_ROOT points
+    at a cold scratch cache (the cache is only populated lazily by item
+    reads) — otherwise training silently falls back to identity stats."""
+    rel = D.data_encoding_stats_dict["carla_no_traffic_2x_encoded"]
+    src = tmp_path / rel
+    src.parent.mkdir(parents=True)
+    torch.save({"mean": 3 * torch.ones(4), "std": 2 * torch.ones(4),
+                "n_obs": torch.tensor(10)}, src)
+    monkeypatch.chdir(tmp_path)
+    monkeypatch.setenv("DATA_ROOT", str(tmp_path / "scratch"))  # empty cache
+    stats = D.load_encoding_stats("carla_no_traffic_2x_encoded")
+    assert stats is not None and np.array_equal(stats["mean"], 3 * np.ones(4))
+
+
+def test_native_paths_cold_data_root(tmp_path, monkeypatch):
+    """Converted .npy siblings living only at the source engage the native
+    fast path under a cold DATA_ROOT (resolve falls back to the source)."""
+    src_rel = Path("datasets/carla/no-traffic")
+    _make_carla_dir(tmp_path / src_rel)
+    scratch = tmp_path / "scratch"
+    monkeypatch.chdir(tmp_path)
+    monkeypatch.setenv("DATA_ROOT", str(scratch))
+    ds = D.CarlaDataset(train=True, path=scratch / src_rel, shard=0,
+                        num_shards=1, T=4)
+    assert ds.native_paths() is None
+    for f in ds.fnames:
+        arr = torch.load(tmp_path / src_rel / f, weights_only=False).numpy()
+        np.save((tmp_path / src_rel / f).with_suffix(".npy"), arr)
+    paths = ds.native_paths()
+    assert paths is not None and len(paths) == len(ds)
+    # resolves to the SOURCE copies (scratch never had them)
+    assert all(str(scratch) not in p for p in paths)
+    # a cached copy wins once it exists
+    cached = scratch / src_rel / Path(ds.fnames[0]).with_suffix(".npy")
+    cached.parent.mkdir(parents=True, exist_ok=True)
+    np.save(cached, np.load(paths[0]))
+    assert ds.native_paths()[0] == str(cached)

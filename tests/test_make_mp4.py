@@ -99,3 +99,32 @@ def test_out_dir_override(tmp_path, monkeypatch):
         str(out_base), "--add_gt", "False"])
     mod.main()
     assert (out_base / "videos" / "1_1.gif").exists()
+
+
+def test_last_seed_at_boundary_succeeds(tmp_path, monkeypatch):
+    """Finding the final needed sample at seed index 99 must succeed — the
+    not-enough-seeds assert only fires when the search must continue."""
+    mod = _load_script()
+    eval_dir = _fake_eval_dir(tmp_path, do_n=1, seeds=(99,))
+    monkeypatch.setattr(sys, "argv", [
+        "video_make_mp4.py", "--eval_dir", str(eval_dir), "--do_n", "1",
+        "--n_seeds", "1", "--add_gt", "False"])
+    mod.main()
+    assert (eval_dir / "videos" / "1_1.gif").exists()
+
+
+def test_nonrgb_channel_counts_export(tmp_path):
+    """2- and 4-channel videos (synthetic debug / raw-latent saves) export
+    through every writer, including the hermetic cv2 fallback."""
+    from lfvdm_tpu.utils import video_io
+
+    for C in (1, 2, 4):
+        arr = np.random.default_rng(C).integers(
+            0, 255, (3, C, 16, 16), dtype=np.uint8)
+        gif = tmp_path / f"c{C}.gif"
+        video_io.tensor2gif(arr, gif)
+        assert gif.stat().st_size > 0
+        avi = tmp_path / f"c{C}.avi"
+        video_io._cv2_write(video_io._to_uint8_thwc(arr, (0, 255)), avi,
+                            fourcc="MJPG")
+        assert avi.stat().st_size > 0
