@@ -43,9 +43,26 @@ class VideoSampler:
         eta: float = 0.0,
         encoder_reuse: int = 1,
         codec=None,
+        mesh=None,
     ):
         self.model = model
         self.diffusion = diffusion
+        # Optional data-parallel sampling over a device mesh: the batch axis
+        # of every window call is sharded over the mesh's data shards and
+        # params are replicated, so one process samples mesh-many videos per
+        # scan (the reference parallelizes eval via SLURM array jobs only).
+        # Single-process meshes: the assembled samples are fetched with
+        # np.asarray, which needs every shard addressable.
+        self.mesh = mesh
+        if mesh is not None:
+            from ..parallel.sharding import replicated
+
+            assert jax.process_count() == 1, (
+                "mesh-sharded sampling supports single-process meshes; "
+                "multi-process eval shards videos across processes instead "
+                "(scripts/video_sample.py --part)"
+            )
+            params = jax.device_put(params, replicated(mesh))
         self.params = params
         # Decodes the fully assembled video once at the end of sample_video
         # (latent -> pixel; reference decodes in-loop,
@@ -106,6 +123,24 @@ class VideoSampler:
         """Run the reverse process for one K-frame window (static shapes)."""
         shape = tuple(x0.shape)
         fn = self._sampler_for(shape)
+        if self.mesh is not None:
+            from ..parallel.sharding import put_batch_array, replicated
+
+            n_shards = int(np.prod(list(self.mesh.shape.values())))
+            if shape[0] % n_shards:
+                # e.g. the tail batch of an eval run — run it replicated
+                # rather than crash at the finish line (jit recompiles for
+                # the replicated input sharding; the values are identical).
+                print(f"sample_window: batch {shape[0]} not divisible by the "
+                      f"mesh's {n_shards} data shards; running replicated")
+                args = [jax.device_put(np.asarray(a), replicated(self.mesh))
+                        for a in (x0, frame_indices, obs_mask, latent_mask)]
+            else:
+                args = [put_batch_array(self.mesh, np.asarray(a))
+                        for a in (x0, frame_indices, obs_mask, latent_mask)]
+            # every committed input must share the mesh's device assignment
+            rng = jax.device_put(rng, replicated(self.mesh))
+            return fn(self.params, *args, rng)
         return fn(self.params, jnp.asarray(x0), jnp.asarray(frame_indices),
                   jnp.asarray(obs_mask), jnp.asarray(latent_mask), rng)
 

@@ -125,6 +125,14 @@ def create_argparser():
                              "(scripts/convert_svd_vae.py); defaults to "
                              "$LFVDM_VAE_WEIGHTS. Needed for pixel decode of "
                              "latent-space checkpoints")
+    parser.add_argument("--dp_devices", type=int, default=1,
+                        help="data-parallel sampling over this many local "
+                             "devices: each window call shards its batch "
+                             "axis over a device mesh (pick --batch_size a "
+                             "multiple). 1 = single-device (default). The "
+                             "reference parallelizes eval only via SLURM "
+                             "array jobs; on a TPU slice this samples "
+                             "batch_size videos per 1000-step scan instead")
     return parser
 
 
@@ -166,9 +174,18 @@ def main():
         print("warning: no VAE weights — samples will be de-normalized latents, "
               "not pixels (pass --vae_weights)")
 
+    mesh = None
+    if args.dp_devices > 1:
+        from lfvdm_tpu.parallel.mesh import make_mesh
+
+        n = len(jax.devices())
+        if args.dp_devices > n:
+            raise ValueError(f"--dp_devices {args.dp_devices} > {n} visible devices")
+        mesh = make_mesh(devices=jax.devices()[:args.dp_devices])
+
     sampler = VideoSampler(model, diffusion, params, clip_denoised=args.clip_denoised,
                            use_ddim=args.use_ddim, encoder_reuse=args.encoder_reuse,
-                           codec=codec)
+                           codec=codec, mesh=mesh)
 
     optimal_schedule = None
     if args.optimality is not None:
