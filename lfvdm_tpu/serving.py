@@ -94,9 +94,24 @@ def save_params_npz(params, path: str):
     np.savez(path, **flat)
 
 
-def load_params_npz(path: str, like):
-    """Inverse of save_params_npz given a structure template ``like``."""
+def load_params_npz(path: str, like=None):
+    """Inverse of save_params_npz.
+
+    With a structure template ``like``, leaves are cast to the template's
+    dtypes. Without one, the nested-dict tree is rebuilt from the '/'-joined
+    npz keys — a serving process needs no model code to construct a
+    template (dict trees flatten key-sorted, matching the export order).
+    """
     data = np.load(path)
+    if like is None:
+        tree: dict = {}
+        for key in data.files:
+            *parents, leaf_key = key.split("/")
+            node = tree
+            for p in parents:
+                node = node.setdefault(p, {})
+            node[leaf_key] = jnp.asarray(data[key])
+        return tree
     leaves_with_paths = jax.tree_util.tree_flatten_with_path(like)[0]
     treedef = jax.tree_util.tree_structure(like)
     leaves = []
