@@ -61,10 +61,17 @@ def upsample_flop_correction(NT, H, num_channels, ch_mult=(1, 1, 2, 3, 4)):
 
 
 def main():
+    import os
+
     import jax
     import jax.numpy as jnp
 
-    from lfvdm_tpu.config import create_model_and_diffusion
+    from lfvdm_tpu.config import create_model_and_diffusion, enable_compilation_cache
+
+    # Persistent compile cache on by default: the flagship sampler scan
+    # takes minutes to compile over the tunnel; relaunches should not.
+    enable_compilation_cache(os.environ.get("LFVDM_COMPILE_CACHE",
+                                            "/root/repo/.jax_cache"))
 
     cfg = dict(image_size=128, in_channels=3, num_channels=128, num_res_blocks=1,
                attention_resolutions="16,8", diffusion_steps=1000,
@@ -77,7 +84,6 @@ def main():
     # B2 1370 / B4 1558 / B8 1495 f/s - but the one clean single-launch B=4
     # run measured 1354 vs B=2's 1632, so B=2 stays the default until a
     # same-hour single-launch A/B settles it. LFVDM_BENCH_B overrides.)
-    import os
     B = int(os.environ.get("LFVDM_BENCH_B", "2"))
     K, C, H = 20, 3, 128
     rng = np.random.default_rng(0)
