@@ -70,8 +70,9 @@ def main():
 
     # Persistent compile cache on by default: the flagship sampler scan
     # takes minutes to compile over the tunnel; relaunches should not.
-    enable_compilation_cache(os.environ.get("LFVDM_COMPILE_CACHE",
-                                            "/root/repo/.jax_cache"))
+    default_cache = os.path.join(os.path.dirname(os.path.abspath(__file__)),
+                                 ".jax_cache")
+    enable_compilation_cache(os.environ.get("LFVDM_COMPILE_CACHE", default_cache))
 
     cfg = dict(image_size=128, in_channels=3, num_channels=128, num_res_blocks=1,
                attention_resolutions="16,8", diffusion_steps=1000,

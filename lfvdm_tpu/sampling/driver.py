@@ -79,6 +79,7 @@ class VideoSampler:
             "encoder_reuse supports the ancestral sampler only"
         )
         self._compiled: Dict[Tuple[int, ...], callable] = {}
+        self._warned_tail: set = set()
 
     def _sampler_for(self, shape: Tuple[int, ...]):
         if shape in self._compiled:
@@ -119,30 +120,38 @@ class VideoSampler:
         self._compiled[shape] = compiled
         return compiled
 
+    def _place_window_args(self, x0, frame_indices, obs_mask, latent_mask, rng):
+        """Device placement for one window call: batch-sharded over the mesh
+        when one is configured (replicated fallback for non-divisible tail
+        batches), plain device arrays otherwise. Returns (args, rng)."""
+        if self.mesh is None:
+            return [jnp.asarray(a) for a in
+                    (x0, frame_indices, obs_mask, latent_mask)], rng
+        from ..parallel.sharding import put_batch_array, replicated
+
+        B = np.asarray(x0).shape[0]
+        if B % self.mesh.size:
+            # e.g. the tail batch of an eval run — run it replicated rather
+            # than crash at the finish line (jit recompiles for the
+            # replicated input sharding; the values are identical).
+            if B not in self._warned_tail:
+                self._warned_tail.add(B)
+                print(f"sample_window: batch {B} not divisible by the mesh's "
+                      f"{self.mesh.size} data shards; running replicated")
+            args = [jax.device_put(np.asarray(a), replicated(self.mesh))
+                    for a in (x0, frame_indices, obs_mask, latent_mask)]
+        else:
+            args = [put_batch_array(self.mesh, np.asarray(a))
+                    for a in (x0, frame_indices, obs_mask, latent_mask)]
+        # every committed input must share the mesh's device assignment
+        return args, jax.device_put(rng, replicated(self.mesh))
+
     def sample_window(self, x0, frame_indices, obs_mask, latent_mask, rng):
         """Run the reverse process for one K-frame window (static shapes)."""
-        shape = tuple(x0.shape)
-        fn = self._sampler_for(shape)
-        if self.mesh is not None:
-            from ..parallel.sharding import put_batch_array, replicated
-
-            n_shards = int(np.prod(list(self.mesh.shape.values())))
-            if shape[0] % n_shards:
-                # e.g. the tail batch of an eval run — run it replicated
-                # rather than crash at the finish line (jit recompiles for
-                # the replicated input sharding; the values are identical).
-                print(f"sample_window: batch {shape[0]} not divisible by the "
-                      f"mesh's {n_shards} data shards; running replicated")
-                args = [jax.device_put(np.asarray(a), replicated(self.mesh))
-                        for a in (x0, frame_indices, obs_mask, latent_mask)]
-            else:
-                args = [put_batch_array(self.mesh, np.asarray(a))
-                        for a in (x0, frame_indices, obs_mask, latent_mask)]
-            # every committed input must share the mesh's device assignment
-            rng = jax.device_put(rng, replicated(self.mesh))
-            return fn(self.params, *args, rng)
-        return fn(self.params, jnp.asarray(x0), jnp.asarray(frame_indices),
-                  jnp.asarray(obs_mask), jnp.asarray(latent_mask), rng)
+        fn = self._sampler_for(tuple(x0.shape))
+        args, rng = self._place_window_args(x0, frame_indices, obs_mask,
+                                            latent_mask, rng)
+        return fn(self.params, *args, rng)
 
     def sample_window_attn(self, x0, frame_indices, obs_mask, latent_mask, rng):
         """``sample_window`` that also returns the reference's per-quartile
@@ -167,9 +176,9 @@ class VideoSampler:
                 )
 
             self._compiled[cache_key] = jax.jit(fn)
-        return self._compiled[cache_key](
-            self.params, jnp.asarray(x0), jnp.asarray(frame_indices),
-            jnp.asarray(obs_mask), jnp.asarray(latent_mask), rng)
+        args, rng = self._place_window_args(x0, frame_indices, obs_mask,
+                                            latent_mask, rng)
+        return self._compiled[cache_key](self.params, *args, rng)
 
     def sample_video(
         self,

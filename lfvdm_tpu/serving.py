@@ -86,11 +86,23 @@ def load_window_sampler(blob: bytes):
 
 
 def save_params_npz(params, path: str):
-    """Flatten a params pytree to an .npz keyed by '/'-joined paths."""
+    """Flatten a params pytree to an .npz keyed by '/'-joined paths.
+
+    The tree must be nested str-keyed dicts with '/'-free keys (flax params
+    are) so the template-free ``load_params_npz`` can invert the flattening;
+    anything else raises rather than silently producing a tree the exported
+    sampler would reject at serve time.
+    """
     flat = {}
     for kp, leaf in jax.tree_util.tree_flatten_with_path(params)[0]:
-        key = "/".join(str(getattr(k, "key", getattr(k, "idx", k))) for k in kp)
-        flat[key] = np.asarray(leaf)
+        parts = []
+        for k in kp:
+            if not hasattr(k, "key") or not isinstance(k.key, str) or "/" in k.key:
+                raise ValueError(
+                    f"save_params_npz needs nested str-keyed dicts with "
+                    f"'/'-free keys; got path entry {k!r}")
+            parts.append(k.key)
+        flat["/".join(parts)] = np.asarray(leaf)
     np.savez(path, **flat)
 
 
@@ -100,7 +112,8 @@ def load_params_npz(path: str, like=None):
     With a structure template ``like``, leaves are cast to the template's
     dtypes. Without one, the nested-dict tree is rebuilt from the '/'-joined
     npz keys — a serving process needs no model code to construct a
-    template (dict trees flatten key-sorted, matching the export order).
+    template (str-keyed dict trees flatten key-sorted, matching the export
+    order; ``save_params_npz`` rejects any other tree shape).
     """
     data = np.load(path)
     if like is None:

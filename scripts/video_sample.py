@@ -181,6 +181,11 @@ def main():
         n = len(jax.devices())
         if args.dp_devices > n:
             raise ValueError(f"--dp_devices {args.dp_devices} > {n} visible devices")
+        if args.batch_size % args.dp_devices:
+            raise ValueError(
+                f"--batch_size {args.batch_size} must be a multiple of "
+                f"--dp_devices {args.dp_devices}, or every window runs "
+                f"replicated (no data parallelism)")
         mesh = make_mesh(devices=jax.devices()[:args.dp_devices])
 
     sampler = VideoSampler(model, diffusion, params, clip_denoised=args.clip_denoised,
