@@ -59,8 +59,8 @@ class VideoSampler:
 
             assert jax.process_count() == 1, (
                 "mesh-sharded sampling supports single-process meshes; "
-                "multi-process eval shards videos across processes instead "
-                "(scripts/video_sample.py --part)"
+                "on pods scripts/video_sample.py instead shards the video "
+                "indices across processes (jax.process_index())"
             )
             params = jax.device_put(params, replicated(mesh))
         self.params = params

@@ -136,6 +136,19 @@ def create_argparser():
     return parser
 
 
+def shard_indices_for_process(indices):
+    """Pod slice: each process takes an interleaved shard of the video
+    indices (the reference's SLURM-array split, without SLURM —
+    video_sample.py:94-106). Idempotent per-video .npy outputs make any
+    overlap harmless; single-process runs keep the full list."""
+    if jax.process_count() == 1:
+        return indices
+    shard = indices[jax.process_index()::jax.process_count()]
+    print(f"process {jax.process_index()}/{jax.process_count()}: "
+          f"{len(shard)} of {len(indices)} videos")
+    return shard
+
+
 def main():
     from lfvdm_tpu.config import apply_platform_env
 
@@ -150,7 +163,7 @@ def main():
         task_id = int(os.environ.get("SLURM_ARRAY_TASK_ID", 0))
         args.start_index = task_id * args.batch_size
         args.stop_index = (task_id + 1) * args.batch_size
-    indices = list(range(args.start_index, args.stop_index))
+    indices = shard_indices_for_process(list(range(args.start_index, args.stop_index)))
 
     model, diffusion, params, config = load_model_from_checkpoint(
         args.checkpoint_path, args.use_ddim, args.timestep_respacing

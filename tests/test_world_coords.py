@@ -89,3 +89,20 @@ def test_skip_existing_outputs(tmp_path, monkeypatch):
     _run(mod, monkeypatch, ["--eval_dir", str(tmp_path)], stub)
     assert len(stub.calls) == 1  # only the missing video ran
     assert np.array_equal(np.load(done / "sample_0000-0.npy"), sentinel)
+
+
+def test_video_sample_pod_index_sharding(monkeypatch):
+    """On pods, video_sample shards video indices across processes
+    (interleaved, like the reference's SLURM-array split)."""
+    import jax
+
+    sys.path.insert(0, str(SCRIPTS))
+    try:
+        vs = importlib.import_module("video_sample")
+    finally:
+        sys.path.pop(0)
+    idx = list(range(10))
+    assert vs.shard_indices_for_process(idx) == idx  # single process
+    monkeypatch.setattr(jax, "process_count", lambda: 3)
+    monkeypatch.setattr(jax, "process_index", lambda: 1)
+    assert vs.shard_indices_for_process(idx) == [1, 4, 7]
