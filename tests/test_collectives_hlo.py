@@ -68,3 +68,32 @@ def test_fsdp_step_contains_param_gather_and_grad_scatter(tmp_path):
     assert hlo.count("all-gather") > 0, "fsdp step lowered without param all-gather"
     n_red = hlo.count("reduce-scatter") + hlo.count("all-reduce")
     assert n_red > 0, "fsdp step lowered without any gradient reduction"
+
+
+def test_dp_sampler_has_no_collectives():
+    """The mesh-sharded sampler must be embarrassingly parallel: batch-DP
+    inference has no cross-device dependency, so the compiled 8-device
+    window sampler must contain ZERO collectives (any all-gather/all-reduce
+    would mean a sharding annotation accidentally forces communication
+    inside the 1000-step scan)."""
+    from lfvdm_tpu.parallel.sharding import put_batch_array, replicated
+    from lfvdm_tpu.sampling.driver import VideoSampler
+
+    model, diffusion = create_model_and_diffusion(CFG)
+    Bs, Ks = 8, 4
+    x = np.zeros((Bs, Ks, 2, 32, 32), np.float32)
+    fi = np.tile(np.arange(Ks)[None], (Bs, 1)).astype(np.int32)
+    m = np.zeros((Bs, Ks, 1, 1, 1), np.float32)
+    params = model.init(jax.random.PRNGKey(0), x, np.zeros((Bs,), np.int32),
+                        x0=x, frame_indices=fi, obs_mask=m, latent_mask=1 - m)
+    mesh = make_mesh(devices=jax.devices()[:8])
+    sampler = VideoSampler(model, diffusion, params, mesh=mesh)
+
+    fn = sampler._sampler_for(tuple(x.shape))
+    args, key = sampler._place_window_args(x, fi, m, 1 - m, jax.random.PRNGKey(1))
+    hlo = fn.lower(sampler.params, *args, key).compile().as_text()
+    for op in ("all-reduce", "all-gather", "reduce-scatter", "all-to-all",
+               "collective-permute"):
+        # ignore trivial replica-group-free start/done wrappers by matching
+        # the op name itself
+        assert op not in hlo, f"unexpected {op} in the dp sampler HLO"
