@@ -68,11 +68,10 @@ def main():
 
     from lfvdm_tpu.config import create_model_and_diffusion, enable_compilation_cache
 
-    # Persistent compile cache on by default: the flagship sampler scan
-    # takes minutes to compile over the tunnel; relaunches should not.
-    default_cache = os.path.join(os.path.dirname(os.path.abspath(__file__)),
-                                 ".jax_cache")
-    enable_compilation_cache(os.environ.get("LFVDM_COMPILE_CACHE", default_cache))
+    # Persistent compile cache on by default (~/.cache/lfvdm_xla): the
+    # flagship sampler scan takes minutes to compile over the tunnel;
+    # relaunches should not.
+    enable_compilation_cache()
 
     cfg = dict(image_size=128, in_channels=3, num_channels=128, num_res_blocks=1,
                attention_resolutions="16,8", diffusion_steps=1000,

@@ -165,19 +165,21 @@ def apply_platform_env():
 
 
 def enable_compilation_cache(path: str = None):
-    """Enable JAX's persistent compilation cache (opt-in).
+    """Enable JAX's persistent compilation cache.
 
     First compiles of the flagship model take minutes on TPU; a persistent
     cache makes relaunches (resume, eval, array jobs) near-instant. Uses
-    ``path``, else $LFVDM_COMPILE_CACHE, else stays disabled.
+    ``path``, else $LFVDM_COMPILE_CACHE, else ``~/.cache/lfvdm_xla``
+    (docs/FLAGS.md). Set LFVDM_COMPILE_CACHE to the empty string to disable.
     """
     import os
 
     import jax
 
-    path = path or os.environ.get("LFVDM_COMPILE_CACHE")
-    if not path:
-        return
+    env = os.environ.get("LFVDM_COMPILE_CACHE")
+    if path is None and env == "":
+        return  # explicitly disabled
+    path = path or env or os.path.expanduser("~/.cache/lfvdm_xla")
     jax.config.update("jax_compilation_cache_dir", path)
     jax.config.update("jax_persistent_cache_min_compile_time_secs", 1.0)
 
