@@ -64,6 +64,46 @@ def main():
     vis_dir = os.path.join(workdir, "vis")
     ckpt_dir = os.path.join(workdir, "ckpt")
 
+    if scenario == "sample":
+        # Pod eval sharding (scripts/video_sample.py): each process takes an
+        # interleaved shard of the video indices and samples it through a
+        # plain (meshless) VideoSampler; idempotent per-video outputs land
+        # in a shared dir.
+        import importlib
+
+        sys.path.insert(0, os.path.join(os.path.dirname(__file__), "..", "scripts"))
+        vs = importlib.import_module("video_sample")
+        from lfvdm_tpu.sampling.driver import VideoSampler
+
+        indices = vs.shard_indices_for_process(list(range(4)))
+        assert len(indices) == 2, indices
+
+        Tv = 8
+        x = np.zeros((1, K, 2, 32, 32), np.float32)
+        fi = np.tile(np.arange(K)[None], (1, 1)).astype(np.int32)
+        m = np.zeros((1, K, 1, 1, 1), np.float32)
+        params = model.init(jax.random.PRNGKey(0), x, np.zeros((1,), np.int32),
+                            x0=x, frame_indices=fi, obs_mask=m, latent_mask=1 - m)
+        sampler = VideoSampler(model, diffusion, params)
+        out_dir = os.path.join(workdir, "samples")
+        os.makedirs(out_dir, exist_ok=True)
+        rng = np.random.default_rng(0)  # same videos on both processes
+        videos = rng.standard_normal((4, Tv, 2, 32, 32)).astype(np.float32)
+        for i in indices:
+            samples, _ = sampler.sample_video(
+                videos[i:i + 1], scheme_name="autoreg", n_obs=4, max_frames=K,
+                step_size=2, rng=jax.random.PRNGKey(i))
+            np.save(os.path.join(out_dir, f"sample_{i:04d}-0.npy"), samples[0])
+
+        from jax.experimental import multihost_utils
+
+        multihost_utils.sync_global_devices("pod-sample-done")
+        done = sorted(os.listdir(out_dir))
+        assert len(done) == 4, done  # union covers every video
+        print(json.dumps({"process": process_id, "indices": indices}),
+              flush=True)
+        return
+
     if scenario == "preempt":
         def sentinel(loop):
             print("SENTINEL-SAMPLE", flush=True)

@@ -130,3 +130,16 @@ def test_two_process_pod_preemption_checkpoint(tmp_path):
     assert all("after interrupt" in out for out in outs), outs[0][-500:]
     ckpt_steps = [d for d in os.listdir(tmp_path / "ckpt") if d.isdigit()]
     assert len(ckpt_steps) >= 1, ckpt_steps
+
+
+def test_two_process_pod_eval_sharding(tmp_path):
+    """video_sample's pod index sharding over real jax.distributed: the two
+    processes sample disjoint interleaved shards into a shared dir whose
+    union covers every video."""
+    procs = _spawn_pod(tmp_path, scenario="sample")
+    _, results = _wait(procs)
+    shards = {r["process"]: r["indices"] for r in results}
+    assert shards[0] == [0, 2] and shards[1] == [1, 3]
+    import os
+    assert sorted(os.listdir(tmp_path / "samples")) == [
+        f"sample_{i:04d}-0.npy" for i in range(4)]
