@@ -98,10 +98,11 @@ def preprocess_videos(videos: np.ndarray, target_resolution: int = 224) -> np.nd
 class FVD:
     """End-to-end FVD: preprocess -> I3D features -> Fréchet distance."""
 
-    def __init__(self, i3d_weights: str | None = None, batch_size: int = 16):
+    def __init__(self, i3d_weights: str | None = None, batch_size: int = 16,
+                 mesh=None):
         from .i3d import I3DFeatureExtractor
 
-        self.extractor = I3DFeatureExtractor(weights_path=i3d_weights)
+        self.extractor = I3DFeatureExtractor(weights_path=i3d_weights, mesh=mesh)
         self.batch_size = batch_size
 
     def extract_features(self, videos: np.ndarray) -> np.ndarray:

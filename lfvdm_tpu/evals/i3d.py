@@ -123,10 +123,17 @@ class I3D(nn.Module):
 
 
 class I3DFeatureExtractor:
-    """Callable: float32 (B, T, 224, 224, 3) in [-1,1] -> (B, 400) numpy."""
+    """Callable: float32 (B, T, 224, 224, 3) in [-1,1] -> (B, 400) numpy.
 
-    def __init__(self, weights_path: Optional[str] = None):
+    ``mesh``: optional single-process device mesh — feature batches shard
+    their batch axis across it (weights replicated), so FVD extraction for
+    a 100-video eval runs data-parallel on a TPU slice. Non-divisible
+    batches fall back to replicated execution.
+    """
+
+    def __init__(self, weights_path: Optional[str] = None, mesh=None):
         self.module = I3D()
+        self.mesh = mesh
         self.pretrained = False
         weights_path = weights_path or os.environ.get("LFVDM_I3D_WEIGHTS")
         if weights_path and os.path.exists(weights_path):
@@ -140,6 +147,10 @@ class I3DFeatureExtractor:
                       "numbers (set LFVDM_I3D_WEIGHTS to a converted checkpoint).")
             dummy = jnp.zeros((1, 16, 224, 224, 3), jnp.float32)
             self.variables = self.module.init(jax.random.PRNGKey(0), dummy)
+        if mesh is not None:
+            from ..parallel.sharding import replicated
+
+            self.variables = jax.device_put(self.variables, replicated(mesh))
         self._apply = jax.jit(partial(self.module.apply, self.variables))
 
     @staticmethod
@@ -156,4 +167,13 @@ class I3DFeatureExtractor:
         return variables
 
     def __call__(self, videos: np.ndarray) -> np.ndarray:
+        videos = np.asarray(videos)
+        if self.mesh is not None:
+            from ..parallel.sharding import put_batch_array, replicated
+
+            if videos.shape[0] % self.mesh.size:
+                x = jax.device_put(videos, replicated(self.mesh))
+            else:
+                x = put_batch_array(self.mesh, videos)
+            return np.asarray(self._apply(x))
         return np.asarray(self._apply(jnp.asarray(videos)))

@@ -63,10 +63,10 @@ def real_dataset_name(dataset_name: str) -> str:
 
 
 def compute_fvd(eval_dir: Path, dataset_name: str, num_videos: int, sample_idx: int,
-                T: int, i3d_weights=None, batch_size=None) -> float:
+                T: int, i3d_weights=None, batch_size=None, mesh=None) -> float:
     if batch_size is None:
         batch_size = BATCH_SIZES.get(dataset_name, 8)
-    fvd = FVD(i3d_weights=i3d_weights, batch_size=batch_size)
+    fvd = FVD(i3d_weights=i3d_weights, batch_size=batch_size, mesh=mesh)
     samples = SampleDataset(eval_dir / "samples", sample_idx, num_videos)
     test_set = get_test_dataset(real_dataset_name(dataset_name), T=T)
 
@@ -98,6 +98,9 @@ def create_argparser():
     parser.add_argument("--batch_size", type=int, default=None,
                         help="videos per I3D feature batch (default: the "
                              "per-dataset table, reference video_fvd.py:34)")
+    parser.add_argument("--dp_devices", type=int, default=1,
+                        help="shard each I3D feature batch over this many "
+                             "local devices (pick --batch_size a multiple)")
     return parser
 
 
@@ -118,9 +121,17 @@ def main():
     dataset = args.dataset or config.get("dataset", "synthetic")
     T = args.T or config.get("T")
 
+    mesh = None
+    if args.dp_devices > 1:
+        import jax
+
+        from lfvdm_tpu.parallel.mesh import make_mesh
+
+        mesh = make_mesh(devices=jax.devices()[:args.dp_devices])
+
     score = compute_fvd(eval_dir, dataset, args.num_videos, args.sample_idx, T,
                         batch_size=args.batch_size,
-                        i3d_weights=args.i3d_weights)
+                        i3d_weights=args.i3d_weights, mesh=mesh)
     out_path.write_text(f"{score}\n")
     print(f"FVD: {score} (saved to {out_path})")
 

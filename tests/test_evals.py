@@ -151,3 +151,22 @@ def test_fvd_real_side_dataset_mapping():
     assert real_dataset_name("carla_no_traffic_2x_encoded") == "carla_no_traffic_2x"
     assert real_dataset_name("carla_no_traffic") == "carla_no_traffic"
     assert real_dataset_name("synthetic") == "synthetic"
+
+
+def test_i3d_mesh_sharded_matches_unsharded():
+    """FVD feature extraction over the 8-device mesh: batch-sharded I3D
+    features equal the single-device ones (weights replicated); a
+    non-divisible batch falls back to replicated execution."""
+    import jax
+
+    from lfvdm_tpu.evals.i3d import I3DFeatureExtractor
+    from lfvdm_tpu.parallel.mesh import make_mesh
+
+    rng = np.random.default_rng(0)
+    x = rng.standard_normal((8, 16, 224, 224, 3)).astype(np.float32)
+    plain = I3DFeatureExtractor()
+    mesh = make_mesh(devices=jax.devices()[:8])
+    sharded = I3DFeatureExtractor(mesh=mesh)
+    np.testing.assert_allclose(sharded(x), plain(x), rtol=2e-4, atol=2e-4)
+    out = sharded(x[:3])  # replicated fallback
+    assert out.shape == (3, 400) and np.isfinite(out).all()
