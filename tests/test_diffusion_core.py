@@ -292,3 +292,33 @@ def test_calc_bpd_loop_shapes():
     assert out["vb"].shape == (2, 8)
     assert out["total_bpd"].shape == (2,)
     assert np.all(np.isfinite(np.asarray(out["total_bpd"])))
+
+
+def test_ddim_reverse_step_parity(reference):
+    """ddim_reverse_sample (the deterministic encoder,
+    gaussian_diffusion.py:524-560 reverse ODE step) matches the reference."""
+    import torch
+
+    ref, ours = make_ref_diffusion(reference), make_ours()
+    rng = np.random.default_rng(6)
+    B, C, H, W = 4, 3, 8, 8
+    x = rng.standard_normal((B, C, H, W)).astype(np.float32)
+    fake_out = (0.1 * rng.standard_normal((B, C, H, W))).astype(np.float32)
+    t = np.array([0, 5, 20, 48])
+
+    def ref_model(x_, ts, return_attn_weights=False, **kw):
+        return torch.tensor(fake_out), None
+
+    ref_res = ref.ddim_reverse_sample(ref_model, torch.tensor(x), torch.tensor(t))
+
+    def our_model(x_, ts, **kw):
+        return jnp.asarray(fake_out)
+
+    our_res = ours.ddim_reverse_sample(our_model, jnp.asarray(x), jnp.asarray(t))
+    np.testing.assert_allclose(
+        np.asarray(our_res["sample"]), ref_res["sample"].numpy(), rtol=1e-4, atol=1e-5
+    )
+    np.testing.assert_allclose(
+        np.asarray(our_res["pred_xstart"]), ref_res["pred_xstart"].numpy(),
+        rtol=1e-4, atol=1e-5
+    )
