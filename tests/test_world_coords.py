@@ -106,3 +106,23 @@ def test_video_sample_pod_index_sharding(monkeypatch):
     monkeypatch.setattr(jax, "process_count", lambda: 3)
     monkeypatch.setattr(jax, "process_index", lambda: 1)
     assert vs.shard_indices_for_process(idx) == [1, 4, 7]
+
+
+def test_just_visualise_renders_png(tmp_path, monkeypatch):
+    """--just_visualise's index-plan renderer writes one PNG per batch
+    element (reference video_sample.py:109-164) without touching a model."""
+    import argparse
+
+    sys.path.insert(0, str(SCRIPTS))
+    try:
+        vs = importlib.import_module("video_sample")
+    finally:
+        sys.path.pop(0)
+    monkeypatch.chdir(tmp_path)
+    args = argparse.Namespace(n_obs=4, T=16, sampling_scheme="autoreg",
+                              max_latent_frames=2, max_frames=4)
+    # two steps of an autoreg plan for B=1 (per-element index lists)
+    indices_used = [([[2, 3]], [[4, 5]]), ([[4, 5]], [[6, 7]])]
+    vs.visualise(args, indices_used)
+    pngs = list((tmp_path / "visualisations").glob("vis_autoreg_*.png"))
+    assert len(pngs) == 1 and pngs[0].stat().st_size > 0
