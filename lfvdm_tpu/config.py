@@ -177,8 +177,8 @@ def enable_compilation_cache(path: str = None):
     import jax
 
     env = os.environ.get("LFVDM_COMPILE_CACHE")
-    if path is None and env == "":
-        return  # explicitly disabled
+    if path == "" or (path is None and env == ""):
+        return  # explicitly disabled (empty path arg or LFVDM_COMPILE_CACHE="")
     path = path or env or os.path.expanduser("~/.cache/lfvdm_xla")
     jax.config.update("jax_compilation_cache_dir", path)
     jax.config.update("jax_persistent_cache_min_compile_time_secs", 1.0)

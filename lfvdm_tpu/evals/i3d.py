@@ -150,6 +150,11 @@ class I3DFeatureExtractor:
         if mesh is not None:
             from ..parallel.sharding import replicated
 
+            assert jax.process_count() == 1, (
+                "mesh-sharded I3D extraction supports single-process meshes "
+                "only (put_batch_array would treat each process's identical "
+                "batch as distinct local rows on a pod)"
+            )
             self.variables = jax.device_put(self.variables, replicated(mesh))
         self._apply = jax.jit(partial(self.module.apply, self.variables))
 

@@ -33,6 +33,24 @@ def setup_distributed():
         jax.distributed.initialize()
 
 
+def make_eval_mesh(dp_devices: int, batch_size: Optional[int] = None) -> Mesh:
+    """Validated pure-dp mesh over the first ``dp_devices`` devices for
+    single-process data-parallel eval (window sampling, I3D features).
+
+    Raises up front when the request can't deliver parallelism — more
+    devices than visible, or a batch size that isn't a multiple (every
+    batch would silently take the replicated fallback).
+    """
+    n = len(jax.devices())
+    if dp_devices > n:
+        raise ValueError(f"--dp_devices {dp_devices} > {n} visible devices")
+    if batch_size is not None and batch_size % dp_devices:
+        raise ValueError(
+            f"--batch_size {batch_size} must be a multiple of --dp_devices "
+            f"{dp_devices}, or every batch runs replicated (no parallelism)")
+    return make_mesh(devices=jax.devices()[:dp_devices])
+
+
 def best_mesh_shape(n_devices: int, fsdp: int = 1) -> Tuple[int, int]:
     """Split n_devices into (dp, fsdp). fsdp=1 -> pure data parallel."""
     if fsdp <= 1:

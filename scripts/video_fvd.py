@@ -123,11 +123,10 @@ def main():
 
     mesh = None
     if args.dp_devices > 1:
-        import jax
+        from lfvdm_tpu.parallel.mesh import make_eval_mesh
 
-        from lfvdm_tpu.parallel.mesh import make_mesh
-
-        mesh = make_mesh(devices=jax.devices()[:args.dp_devices])
+        mesh = make_eval_mesh(
+            args.dp_devices, args.batch_size or BATCH_SIZES.get(dataset, 8))
 
     score = compute_fvd(eval_dir, dataset, args.num_videos, args.sample_idx, T,
                         batch_size=args.batch_size,

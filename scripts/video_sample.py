@@ -155,6 +155,13 @@ def main():
     apply_platform_env()  # $LFVDM_PLATFORM=cpu forces CPU (config-level)
     args = create_argparser().parse_args()
 
+    # Multi-host launches (coordinator env / TPU pod slices): initialize
+    # jax.distributed so shard_indices_for_process sees the real process
+    # count; no-op in the common single-process case.
+    from lfvdm_tpu.parallel.mesh import setup_distributed
+
+    setup_distributed()
+
     from lfvdm_tpu.config import enable_compilation_cache
 
     enable_compilation_cache(args.compilation_cache_dir)
@@ -189,17 +196,9 @@ def main():
 
     mesh = None
     if args.dp_devices > 1:
-        from lfvdm_tpu.parallel.mesh import make_mesh
+        from lfvdm_tpu.parallel.mesh import make_eval_mesh
 
-        n = len(jax.devices())
-        if args.dp_devices > n:
-            raise ValueError(f"--dp_devices {args.dp_devices} > {n} visible devices")
-        if args.batch_size % args.dp_devices:
-            raise ValueError(
-                f"--batch_size {args.batch_size} must be a multiple of "
-                f"--dp_devices {args.dp_devices}, or every window runs "
-                f"replicated (no data parallelism)")
-        mesh = make_mesh(devices=jax.devices()[:args.dp_devices])
+        mesh = make_eval_mesh(args.dp_devices, args.batch_size)
 
     sampler = VideoSampler(model, diffusion, params, clip_denoised=args.clip_denoised,
                            use_ddim=args.use_ddim, encoder_reuse=args.encoder_reuse,

@@ -76,7 +76,6 @@ def test_dp_sampler_has_no_collectives():
     window sampler must contain ZERO collectives (any all-gather/all-reduce
     would mean a sharding annotation accidentally forces communication
     inside the 1000-step scan)."""
-    from lfvdm_tpu.parallel.sharding import put_batch_array, replicated
     from lfvdm_tpu.sampling.driver import VideoSampler
 
     model, diffusion = create_model_and_diffusion(CFG)

@@ -140,6 +140,5 @@ def test_two_process_pod_eval_sharding(tmp_path):
     _, results = _wait(procs)
     shards = {r["process"]: r["indices"] for r in results}
     assert shards[0] == [0, 2] and shards[1] == [1, 3]
-    import os
     assert sorted(os.listdir(tmp_path / "samples")) == [
         f"sample_{i:04d}-0.npy" for i in range(4)]
