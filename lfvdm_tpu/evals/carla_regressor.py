@@ -13,7 +13,7 @@ via :func:`convert_resnet152_state_dict` (torchvision layout).
 from __future__ import annotations
 
 from functools import partial
-from typing import Optional, Sequence
+from typing import Sequence
 
 import jax
 import jax.numpy as jnp

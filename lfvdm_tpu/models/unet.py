@@ -23,7 +23,7 @@ reference) is intentionally not reproduced.
 
 from __future__ import annotations
 
-from typing import Optional, Tuple
+from typing import Tuple
 
 import jax
 import jax.numpy as jnp

@@ -24,7 +24,7 @@ against torch happens there). Activations NHWC; GroupNorm eps 1e-6.
 from __future__ import annotations
 
 from functools import partial
-from typing import Optional, Sequence, Tuple
+from typing import Sequence
 
 import jax
 import jax.numpy as jnp

@@ -12,7 +12,6 @@ codebase); this is TPU-framework infrastructure for the deployment story.
 
 from __future__ import annotations
 
-import io
 from typing import Optional, Tuple
 
 import jax

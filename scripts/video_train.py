@@ -25,10 +25,8 @@ import numpy as np
 from lfvdm_tpu.config import (
     enable_compilation_cache,
     add_dict_to_argparser,
-    args_to_dict,
     create_model_and_diffusion,
     model_and_diffusion_defaults,
-    str2bool,
 )
 from lfvdm_tpu.data.datasets import (
     default_image_size_dict,
@@ -38,7 +36,7 @@ from lfvdm_tpu.data.datasets import (
 )
 from lfvdm_tpu.diffusion.codecs import make_codec
 from lfvdm_tpu.diffusion.resample import create_named_schedule_sampler
-from lfvdm_tpu.parallel.mesh import make_mesh, setup_distributed
+from lfvdm_tpu.parallel.mesh import setup_distributed
 from lfvdm_tpu.training.train_loop import TrainLoop
 from lfvdm_tpu.utils.logger import logger
 
