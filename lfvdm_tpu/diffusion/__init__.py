@@ -6,6 +6,7 @@ from .gaussian import (
     LossType,
     mean_flat,
 )
+from .dpm_solver import dpm_solver_pp_coefficients, dpm_solver_pp_sample_loop
 from .resample import (
     ScheduleSampler,
     UniformSampler,

@@ -31,7 +31,12 @@ import jax.numpy as jnp
 import numpy as np
 
 from .losses import discretized_gaussian_log_likelihood, normal_kl
-from .schedules import get_named_beta_schedule, respaced_betas, space_timesteps
+from .schedules import (
+    get_named_beta_schedule,
+    respaced_betas,
+    space_timesteps,
+    space_timesteps_lambda_uniform,
+)
 
 
 class ModelMeanType(enum.Enum):
@@ -162,7 +167,14 @@ class GaussianDiffusion:
             loss_type = LossType.MSE
         timestep_map = None
         if timestep_respacing:
-            use_ts = space_timesteps(steps, timestep_respacing)
+            if isinstance(timestep_respacing, str) and timestep_respacing.startswith("dpm"):
+                # "dpmN": N timesteps uniform in half-log-SNR (lambda) space —
+                # the DPM-Solver lattice (schedules.py). Beyond-reference spec;
+                # all reference specs ("N", "a,b,c", "ddimN") are unchanged.
+                use_ts = space_timesteps_lambda_uniform(
+                    betas, int(timestep_respacing[len("dpm"):]))
+            else:
+                use_ts = space_timesteps(steps, timestep_respacing)
             betas, timestep_map = respaced_betas(betas, use_ts)
         return cls(
             betas=betas,

@@ -80,6 +80,39 @@ def space_timesteps(num_timesteps: int, section_counts) -> set:
     return set(all_steps)
 
 
+def space_timesteps_lambda_uniform(betas: np.ndarray, n: int) -> set:
+    """Pick ``n`` original timesteps uniformly in half-log-SNR space.
+
+    lambda_t = 0.5 * log(abar_t / (1 - abar_t)) — the natural time of the
+    probability-flow ODE. The reference's uniform-in-t respacing
+    (space_timesteps) concentrates a huge terminal lambda-hop at tiny step
+    budgets (for the 1000-step linear schedule, the last t-uniform hop at
+    n=10 spans h ~= 3.6), which is exactly where high-order extrapolation
+    overshoots; lambda-uniform spacing is the DPM-Solver paper's default
+    lattice (arXiv:2211.01095 §4). Endpoints 0 and T-1 are always included.
+
+    Not reference-behavior — reachable only through the ``"dpmN"`` respacing
+    spec, so every reference spec still selects identically.
+    """
+    acp = np.cumprod(1.0 - np.asarray(betas, dtype=np.float64))
+    lam = 0.5 * (np.log(acp) - np.log1p(-acp))
+    assert n >= 2 and n <= len(betas)
+    targets = np.linspace(lam[0], lam[-1], n)  # descending (lam decreases in t)
+    idx = set(int(np.abs(lam - x).argmin()) for x in targets)
+    idx |= {0, len(betas) - 1}
+    # nearest-index collisions can drop below n; fill from the largest
+    # lambda-gaps so the count is exact
+    while len(idx) < n:
+        chosen = np.array(sorted(idx))
+        gaps = np.abs(np.diff(lam[chosen]))
+        g = int(gaps.argmax())
+        mid = (chosen[g] + chosen[g + 1]) // 2
+        if mid in idx:  # adjacent indices everywhere — cannot refine further
+            break
+        idx.add(int(mid))
+    return idx
+
+
 def respaced_betas(betas: np.ndarray, use_timesteps) -> tuple[np.ndarray, np.ndarray]:
     """Compute the spaced-process betas and the timestep map.
 

@@ -40,6 +40,7 @@ class VideoSampler:
         *,
         clip_denoised: bool = True,
         use_ddim: bool = False,
+        use_dpm: bool = False,
         eta: float = 0.0,
         encoder_reuse: int = 1,
         codec=None,
@@ -70,12 +71,17 @@ class VideoSampler:
         self.codec = codec
         self.clip_denoised = clip_denoised
         self.use_ddim = use_ddim
+        # DPM-Solver++(2M) (diffusion/dpm_solver.py): second-order
+        # deterministic solver — 10-25 model calls per window (set the count
+        # with timestep_respacing) instead of the ancestral/DDIM hundreds.
+        self.use_dpm = use_dpm
+        assert not (use_ddim and use_dpm), "pick ONE of use_ddim / use_dpm"
         self.eta = eta
         # Training-free encoder propagation (arXiv:2312.09608): run the
         # U-Net encoder every k-th diffusion step, decoder-only between.
         # Approximate — opt-in; ancestral sampling only.
         self.encoder_reuse = int(encoder_reuse)
-        assert self.encoder_reuse == 1 or not use_ddim, (
+        assert self.encoder_reuse == 1 or not (use_ddim or use_dpm), (
             "encoder_reuse supports the ancestral sampler only"
         )
         self._compiled: Dict[Tuple[int, ...], callable] = {}
@@ -97,6 +103,13 @@ class VideoSampler:
                 return self.diffusion.ddim_sample_loop(
                     model_fn, shape, rng, clip_denoised=self.clip_denoised,
                     model_kwargs=model_kwargs, eta=self.eta,
+                )
+            if self.use_dpm:
+                from ..diffusion.dpm_solver import dpm_solver_pp_sample_loop
+
+                return dpm_solver_pp_sample_loop(
+                    self.diffusion, model_fn, shape, rng,
+                    clip_denoised=self.clip_denoised, model_kwargs=model_kwargs,
                 )
             if self.encoder_reuse > 1:
                 def model_fn_features(x, ts, feats):
@@ -156,9 +169,9 @@ class VideoSampler:
     def sample_window_attn(self, x0, frame_indices, obs_mask, latent_mask, rng):
         """``sample_window`` that also returns the reference's per-quartile
         attention heatmaps (gaussian_diffusion.py:448-469). Ancestral only."""
-        assert not self.use_ddim and self.encoder_reuse == 1, (
+        assert not (self.use_ddim or self.use_dpm) and self.encoder_reuse == 1, (
             "sample_window_attn runs the exact ancestral sampler; it cannot "
-            "honor use_ddim=True or encoder_reuse>1 — sample without "
+            "honor use_ddim/use_dpm or encoder_reuse>1 — sample without "
             "attention weights instead"
         )
         shape = tuple(x0.shape)

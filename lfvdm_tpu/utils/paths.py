@@ -14,6 +14,7 @@ def get_model_results_path(
     checkpoint_path: str,
     *,
     use_ddim: bool = False,
+    use_dpm: bool = False,
     timestep_respacing: str = "",
     eval_dir: str | None = None,
     checkpoint_step: int | None = None,
@@ -23,6 +24,8 @@ def get_model_results_path(
     postfix = ""
     if use_ddim:
         postfix += "_ddim"
+    if use_dpm:
+        postfix += "_dpm"
     if timestep_respacing:
         postfix += f"_respace{timestep_respacing}"
     ckpt = Path(checkpoint_path)

@@ -106,6 +106,12 @@ def create_argparser():
     parser.add_argument("--start_index", type=int, default=0)
     parser.add_argument("--stop_index", type=int, default=None)
     parser.add_argument("--use_ddim", type=str2bool, default=False)
+    parser.add_argument("--use_dpm", type=str2bool, default=False,
+                        help="DPM-Solver++(2M) (arXiv:2211.01095): second-order "
+                             "deterministic solver — set the model-call count "
+                             "with --timestep_respacing (10-25 is the designed "
+                             "regime). Beyond-reference fast sampling; "
+                             "mutually exclusive with --use_ddim")
     parser.add_argument("--timestep_respacing", type=str, default="")
     parser.add_argument("--clip_denoised", type=str2bool, default=True)
     parser.add_argument("--sample_idx", type=int, default=0)
@@ -201,7 +207,8 @@ def main():
         mesh = make_eval_mesh(args.dp_devices, args.batch_size)
 
     sampler = VideoSampler(model, diffusion, params, clip_denoised=args.clip_denoised,
-                           use_ddim=args.use_ddim, encoder_reuse=args.encoder_reuse,
+                           use_ddim=args.use_ddim, use_dpm=args.use_dpm,
+                           encoder_reuse=args.encoder_reuse,
                            codec=codec, mesh=mesh)
 
     optimal_schedule = None
@@ -223,7 +230,7 @@ def main():
         return
 
     eval_dir = get_model_results_path(
-        args.checkpoint_path, use_ddim=args.use_ddim,
+        args.checkpoint_path, use_ddim=args.use_ddim, use_dpm=args.use_dpm,
         timestep_respacing=args.timestep_respacing, eval_dir=args.eval_dir,
     ) / get_eval_run_identifier(
         args.sampling_scheme, args.max_frames, args.max_latent_frames,
