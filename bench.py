@@ -79,11 +79,12 @@ def main():
     model, diffusion = create_model_and_diffusion(cfg)
 
     # K/H = released-checkpoint shape; B=2 = its training batch and the best
-    # MEASURED single-launch throughput. (A 200-step-chunk sweep suggested
-    # B=4 wins after the fast paths freed the upsample-broadcast VMEM -
-    # B2 1370 / B4 1558 / B8 1495 f/s - but the one clean single-launch B=4
-    # run measured 1354 vs B=2's 1632, so B=2 stays the default until a
-    # same-hour single-launch A/B settles it. LFVDM_BENCH_B overrides.)
+    # MEASURED single-launch throughput. Settled by a same-hour single-launch
+    # A/B (B2 -> B4 -> B2 back-to-back): B2 1655 f/s (24.16 ms/call) vs
+    # B4 1603 f/s (49.9 ms/call) - the 200-step-chunk sweep that suggested
+    # B4 wins was a chunked-protocol artifact. The same A/B also showed a
+    # concurrent host-CPU-heavy job depresses even a single-launch scan 40%
+    # (1175 f/s), so benches must run alone. LFVDM_BENCH_B overrides.
     B = int(os.environ.get("LFVDM_BENCH_B", "2"))
     K, C, H = 20, 3, 128
     rng = np.random.default_rng(0)
