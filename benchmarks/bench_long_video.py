@@ -36,13 +36,20 @@ def main():
     ap.add_argument("--batch_size", type=int, default=1)
     ap.add_argument("--respace", type=int, default=0,
                     help="timestep respacing (0 = full 1000 steps per window)")
+    ap.add_argument("--sampler", choices=["ancestral", "ddim", "dpm"],
+                    default="ancestral",
+                    help="dpm = DPM-Solver++(2M) on the lambda-uniform 'dpmN' "
+                         "lattice (N = --respace, designed regime 10-25)")
     args = ap.parse_args()
 
     cfg = dict(image_size=128, in_channels=3, num_channels=128, num_res_blocks=1,
                attention_resolutions="16,8", diffusion_steps=1000,
                compute_dtype="bfloat16")
     if args.respace:
-        cfg["timestep_respacing"] = str(args.respace)
+        cfg["timestep_respacing"] = (
+            f"dpm{args.respace}" if args.sampler == "dpm" else str(args.respace))
+    elif args.sampler == "dpm":
+        ap.error("--sampler dpm needs --respace N (the model-call budget)")
     model, diffusion = create_model_and_diffusion(cfg)
 
     B, C, H = args.batch_size, 3, cfg["image_size"]
@@ -59,7 +66,9 @@ def main():
         obs_mask=jax.numpy.ones((B, args.max_frames, 1, 1, 1), jax.numpy.float32),
         latent_mask=jax.numpy.zeros((B, args.max_frames, 1, 1, 1), jax.numpy.float32),
     )
-    sampler = VideoSampler(model, diffusion, params)
+    sampler = VideoSampler(model, diffusion, params,
+                           use_ddim=args.sampler == "ddim",
+                           use_dpm=args.sampler == "dpm")
 
     # Warmup: generate once so every window shape is compiled, then time.
     t0 = time.perf_counter()
@@ -86,6 +95,7 @@ def main():
         "model_calls": len(indices),
         "steps_per_call": diffusion.num_timesteps,
         "compiled_shapes": len(sampler._compiled),
+        "sampler": args.sampler,
         "T": args.T, "n_obs": args.n_obs, "scheme": args.scheme,
         "config": f"carla pixel 128px ch128 res1 K{args.max_frames} B{B} bf16",
     }))

@@ -27,7 +27,9 @@ import sys
 import jax
 import numpy as np
 
-from lfvdm_tpu.config import create_model_and_diffusion
+from lfvdm_tpu.config import apply_platform_env, create_model_and_diffusion
+
+apply_platform_env()  # honor $LFVDM_PLATFORM=cpu like the CLI scripts
 from lfvdm_tpu.data.datasets import SyntheticVideoDataset
 from lfvdm_tpu.sampling.driver import VideoSampler
 from lfvdm_tpu.training.train_loop import TrainLoop
@@ -41,6 +43,11 @@ def main():
     ap.add_argument("--encoder_reuse", type=str, default="1",
                     help="comma list of k values; the model trains ONCE and each "
                          "k samples with encoder propagation every k steps")
+    ap.add_argument("--samplers", type=str, default="ancestral",
+                    help="comma list: 'ancestral', 'ddimN' (N-step strided DDIM), "
+                         "'dpmN' (N-call DPM-Solver++(2M) on the lambda-uniform "
+                         "lattice). The model trains ONCE on the full schedule; "
+                         "each entry samples with its own respaced diffusion")
     ap.add_argument("--diffusion_steps", type=int, default=64,
                     help="1000 + linear = the flagship schedule; encoder reuse "
                          "is designed for long schedules where adjacent steps "
@@ -68,28 +75,43 @@ def main():
 
     gt = ((video + 1) / 2 * 255).clip(0, 255).astype(np.uint8)
     all_ok = True
-    for k in (int(v) for v in str(args.encoder_reuse).split(",")):
-        sampler = VideoSampler(model, diffusion, loop.state["params"],
-                               encoder_reuse=k)
-        samples, _ = sampler.sample_video(np.stack([video]), scheme_name="autoreg",
-                                          n_obs=4, max_frames=5, step_size=2,
-                                          rng=jax.random.PRNGKey(0))
-        s = ((samples[0] + 1) / 2 * 255).clip(0, 255).astype(np.uint8)
-        err = [float(np.abs(s[i].astype(int) - gt[i].astype(int)).mean())
-               for i in range(T)]
-        gen_err = float(np.mean(err[4:]))
-        ok = gen_err < args.threshold and max(err[:4]) == 0.0
-        all_ok = all_ok and ok
-        print(json.dumps({
-            "metric": "overfit_gen_err_uint8",
-            "diffusion_steps": args.diffusion_steps,
-            "encoder_reuse": k,
-            "value": round(gen_err, 2),
-            "threshold": args.threshold,
-            "obs_frames_exact": max(err[:4]) == 0.0,
-            "per_frame_err": [round(e, 1) for e in err],
-            "pass": ok,
-        }), flush=True)
+    for spec in str(args.samplers).split(","):
+        if spec == "ancestral":
+            samp_diffusion, kw = diffusion, {}
+        elif spec.startswith("dpm"):
+            samp_diffusion = create_model_and_diffusion(
+                {**cfg, "timestep_respacing": spec})[1]
+            kw = dict(use_dpm=True)
+        elif spec.startswith("ddim"):
+            samp_diffusion = create_model_and_diffusion(
+                {**cfg, "timestep_respacing": spec})[1]
+            kw = dict(use_ddim=True)
+        else:
+            raise ValueError(f"unknown sampler spec {spec!r}")
+        for k in (int(v) for v in str(args.encoder_reuse).split(",")):
+            sampler = VideoSampler(model, samp_diffusion, loop.state["params"],
+                                   encoder_reuse=k, **kw)
+            samples, _ = sampler.sample_video(
+                np.stack([video]), scheme_name="autoreg",
+                n_obs=4, max_frames=5, step_size=2,
+                rng=jax.random.PRNGKey(0))
+            s = ((samples[0] + 1) / 2 * 255).clip(0, 255).astype(np.uint8)
+            err = [float(np.abs(s[i].astype(int) - gt[i].astype(int)).mean())
+                   for i in range(T)]
+            gen_err = float(np.mean(err[4:]))
+            ok = gen_err < args.threshold and max(err[:4]) == 0.0
+            all_ok = all_ok and ok
+            print(json.dumps({
+                "metric": "overfit_gen_err_uint8",
+                "diffusion_steps": args.diffusion_steps,
+                "sampler": spec,
+                "encoder_reuse": k,
+                "value": round(gen_err, 2),
+                "threshold": args.threshold,
+                "obs_frames_exact": max(err[:4]) == 0.0,
+                "per_frame_err": [round(e, 1) for e in err],
+                "pass": ok,
+            }), flush=True)
     sys.exit(0 if all_ok else 1)
 
 

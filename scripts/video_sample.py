@@ -109,9 +109,12 @@ def create_argparser():
     parser.add_argument("--use_dpm", type=str2bool, default=False,
                         help="DPM-Solver++(2M) (arXiv:2211.01095): second-order "
                              "deterministic solver — set the model-call count "
-                             "with --timestep_respacing (10-25 is the designed "
-                             "regime). Beyond-reference fast sampling; "
-                             "mutually exclusive with --use_ddim")
+                             "with --timestep_respacing 'dpmN' (N=10-25 is the "
+                             "designed regime). Built for LONG training "
+                             "schedules (~1000 steps); on coarse few-step "
+                             "schedules the lattice is too sparse and quality "
+                             "degrades (docs/DESIGN.md §5). Beyond-reference "
+                             "fast sampling; mutually exclusive with --use_ddim")
     parser.add_argument("--timestep_respacing", type=str, default="")
     parser.add_argument("--clip_denoised", type=str2bool, default=True)
     parser.add_argument("--sample_idx", type=int, default=0)
