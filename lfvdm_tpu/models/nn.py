@@ -17,6 +17,7 @@ import math
 import jax
 import jax.numpy as jnp
 from flax import linen as nn
+from jax.ad_checkpoint import checkpoint_name
 
 
 def timestep_embedding(timesteps: jnp.ndarray, dim: int, max_period: float = 10000.0) -> jnp.ndarray:
@@ -111,8 +112,12 @@ class GroupNorm32(nn.Module):
         g_m = s1.reshape(N, G, C // G).sum(-1) / n_red  # E[x] − a, (N, G)
         g_s2 = s2.reshape(N, G, C // G).sum(-1) / n_red
         g_var = jnp.maximum(g_s2 - jnp.square(g_m), 0.0)
-        g_mean = g_m + a_g
-        g_rstd = jax.lax.rsqrt(g_var + self.eps)
+        # Named so the U-Net's remat policy can SAVE the (N, G) f32 stats
+        # across the remat boundary instead of re-reducing the full
+        # activation in the recompute pass (unet.py GN_STATS_REMAT_POLICY;
+        # measured ~neutral at 256px — see the policy's comment).
+        g_mean = checkpoint_name(g_m + a_g, "gn_stats")
+        g_rstd = checkpoint_name(jax.lax.rsqrt(g_var + self.eps), "gn_stats")
 
         # Per-channel affine folded into the group stats: y = x·a + b with
         # a = rstd·scale, b = bias − mean·rstd·scale — ONE fused pass over x.

@@ -36,6 +36,20 @@ from .rpe import RPEAttention
 from ..ops import skipconv as _skipconv
 from ..ops.skipconv import skip_conv_stats
 
+# Remat policy for ``use_remat``: rematerialize everything EXCEPT the
+# GroupNorm group statistics (named "gn_stats" in nn.GroupNorm32) — each a
+# (N, groups) f32 pair (kilobytes), so saving them skips the stat re-reduce
+# over the full activation in the recompute pass. Measured at the 256px
+# train step: ~neutral (132.40 → 132.25 ms/step) — the 20 ms of
+# convert+reduce fusions there are dominated by GroupNorm's INHERENT
+# backward reductions (Σdy, Σdy·x̂ over the activation), which no amount of
+# forward-stat saving can remove; XLA was already folding most of the stat
+# recompute into adjacent fusions. Kept because it is free (KBs of saves),
+# measurably not worse, and pins the checkpoint_name plumbing under test
+# (test_unet_fastpaths.py::test_remat_gn_stats_policy_grad_parity).
+GN_STATS_REMAT_POLICY = jax.checkpoint_policies.save_only_these_names(
+    "gn_stats")
+
 
 class _FusedSkipConv(nn.Module):
     """Up-path 1x1 skip projection + residual add + next-block GN stats.
@@ -393,8 +407,12 @@ class UNetVideoModel(nn.Module):
                                   name="time_embed_2")(nn.silu(emb))
         temb_bt = emb.reshape(B, T, ted)  # for RPENet
 
-        res_block_cls = nn.remat(ResBlock) if self.use_remat else ResBlock
-        attn_block_cls = nn.remat(FactorizedAttentionBlock) if self.use_remat else FactorizedAttentionBlock
+        if self.use_remat:
+            res_block_cls = nn.remat(ResBlock, policy=GN_STATS_REMAT_POLICY)
+            attn_block_cls = nn.remat(FactorizedAttentionBlock,
+                                      policy=GN_STATS_REMAT_POLICY)
+        else:
+            res_block_cls, attn_block_cls = ResBlock, FactorizedAttentionBlock
 
         def res_block(name, out_channels, emit_stats=False):
             return res_block_cls(
