@@ -253,6 +253,7 @@ class TrainLoop:
         schedule_sampler: Optional[ScheduleSampler] = None,
         checkpoint_dir: str = "checkpoints/run",
         resume: bool = False,
+        init_params=None,
         config: Optional[Dict] = None,
         mesh=None,
         fsdp: int = 1,
@@ -324,6 +325,34 @@ class TrainLoop:
             x0=example["x0"], frame_indices=example["frame_indices"],
             obs_mask=example["obs_mask"], latent_mask=example["latent_mask"],
         )
+        if init_params is not None:
+            # Warm-start (fine-tune) from an externally supplied param tree —
+            # e.g. a converted reference .pt checkpoint
+            # (utils/torch_convert.convert_reference_checkpoint). The tree
+            # must match the freshly initialized structure exactly; EMA and
+            # optimizer state below start from these values (fresh moments,
+            # step 0), which is the right semantics for fine-tuning.
+            flat_init = jax.tree.leaves_with_path(params)
+            flat_given = dict(jax.tree.leaves_with_path(init_params))
+            if set(flat_given) != {p for p, _ in flat_init}:
+                missing = sorted({jax.tree_util.keystr(p) for p, _ in flat_init}
+                                 - {jax.tree_util.keystr(p) for p in flat_given})[:5]
+                extra = sorted({jax.tree_util.keystr(p) for p in flat_given}
+                               - {jax.tree_util.keystr(p) for p, _ in flat_init})[:5]
+                raise ValueError(
+                    f"init_params tree mismatch (missing={missing}, extra={extra}) "
+                    "— wrong architecture config for this checkpoint?"
+                )
+            for path, leaf in flat_init:
+                given = flat_given[path]
+                if tuple(given.shape) != tuple(leaf.shape):
+                    raise ValueError(
+                        f"init_params shape mismatch at {jax.tree_util.keystr(path)}: "
+                        f"{tuple(given.shape)} vs model {tuple(leaf.shape)}"
+                    )
+            params = jax.tree.map(
+                lambda leaf, given: jnp.asarray(given, leaf.dtype), params, init_params
+            )
         self.tx = make_optimizer(lr, weight_decay, lr_anneal_steps)
 
         # Place params per the FSDP rule; Adam moments and EMA copies inherit

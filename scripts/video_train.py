@@ -60,6 +60,8 @@ def create_argparser():
         schedule_sampler="uniform",
         checkpoint_dir="checkpoints/run",
         resume=False,
+        init_from_pt="",  # warm-start from a converted reference .pt checkpoint
+                          # (fine-tune; fresh optimizer/EMA, step 0)
         fsdp=1,
         max_steps=0,
         use_wandb=False,
@@ -146,6 +148,26 @@ def main():
         # construction (make_codec_from_config) needs only the checkpoint.
         args.enc_stats_mean = [float(v) for v in np.asarray(stats["mean"]).reshape(-1)]
         args.enc_stats_std = [float(v) for v in np.asarray(stats["std"]).reshape(-1)]
+
+    # Warm-start from a reference .pt checkpoint (migration path: fine-tune
+    # the released reference weights on TPU). The checkpoint's embedded
+    # architecture config wins over CLI/dataset-derived flags — exactly like
+    # eval-time reconstruction (reference video_sample.py:205-213) — so the
+    # converted tree is guaranteed to fit the model being built.
+    init_params = None
+    if args.init_from_pt:
+        from lfvdm_tpu.utils.torch_convert import convert_reference_checkpoint
+
+        init_params, pt_config = convert_reference_checkpoint(args.init_from_pt)
+        arch_keys = ("image_size", "in_channels", "num_channels", "num_res_blocks",
+                     "num_heads", "num_heads_upsample", "attention_resolutions",
+                     "learn_sigma", "use_scale_shift_norm", "use_rpe_net")
+        adopted = {k: pt_config[k] for k in arch_keys
+                   if k in pt_config and pt_config[k] != getattr(args, k)}
+        for k, v in adopted.items():
+            setattr(args, k, v)
+        if adopted:
+            print(f"init_from_pt: adopted architecture from checkpoint: {adopted}")
 
     config = vars(args)
     model, diffusion = create_model_and_diffusion(config)

@@ -228,3 +228,84 @@ def test_sigterm_checkpoints_and_exits(tmp_path):
     # the handler active before run_loop was restored exactly
     assert signal.getsignal(signal.SIGTERM) is before
     assert not loop._profiling
+
+
+def test_init_params_warm_start(tmp_path):
+    """TrainLoop(init_params=...) fine-tunes: params, EMA, and opt state all
+    start from the injected tree (migration path for converted reference
+    checkpoints — utils/torch_convert.convert_reference_checkpoint)."""
+    donor = make_loop(tmp_path / "a")
+    injected = jax.tree.map(lambda p: np.asarray(p) + 0.125, donor.state["params"])
+
+    loop = make_loop(tmp_path / "b", init_params=injected)
+    got = jax.tree.map(np.asarray, loop.state["params"])
+    for a, b in zip(jax.tree.leaves(injected), jax.tree.leaves(got)):
+        np.testing.assert_allclose(a, b, atol=1e-6)
+    # EMA trees start at the warm-start values, not the fresh init
+    for rate in ("0.9999", "0.99"):
+        ema = jax.tree.map(np.asarray, loop.state["ema"][rate])
+        for a, b in zip(jax.tree.leaves(injected), jax.tree.leaves(ema)):
+            np.testing.assert_allclose(a, b, atol=1e-6)
+    assert int(loop.state["step"]) == 0  # fresh optimizer/step (fine-tune)
+
+
+def test_init_params_mismatch_raises(tmp_path):
+    donor = make_loop(tmp_path / "a")
+    bad = jax.tree.map(lambda p: np.zeros(p.shape + (1,), np.float32),
+                       donor.state["params"])
+    with pytest.raises(ValueError, match="shape mismatch"):
+        make_loop(tmp_path / "b", init_params=bad)
+    with pytest.raises(ValueError, match="tree mismatch"):
+        make_loop(tmp_path / "c", init_params={"params": {"nope": np.zeros(3)}})
+
+
+def test_init_from_reference_pt_checkpoint(tmp_path, reference):
+    """Full migration path: a reference-format .pt file -> converted params
+    -> one TPU train step (the scripts/video_train.py --init_from_pt flow)."""
+    import torch
+    from improved_diffusion.script_util import create_model as ref_create_model
+
+    from lfvdm_tpu.utils.torch_convert import convert_reference_checkpoint
+
+    torch.manual_seed(3)
+    ref_model = ref_create_model(
+        image_size=32, in_channels=4, num_channels=32, num_res_blocks=1,
+        learn_sigma=False, class_cond=False, use_checkpoint=False,
+        attention_resolutions="16,8", num_heads=4, num_heads_upsample=-1,
+        use_scale_shift_norm=True, dropout=0.0, use_rpe_net=True,
+    )
+    with torch.no_grad():
+        for p in ref_model.parameters():
+            p.copy_(torch.randn_like(p) * 0.05)
+    pt_path = str(tmp_path / "model_000123.pt")
+    torch.save(
+        {"state_dict": ref_model.state_dict(),
+         "config": dict(image_size=32, in_channels=4, num_channels=32,
+                        num_res_blocks=1, attention_resolutions="16,8",
+                        use_rpe_net=True)},
+        pt_path,
+    )
+
+    params, pt_config = convert_reference_checkpoint(pt_path)
+    assert pt_config["num_channels"] == 32
+
+    cfg = dict(CFG, in_channels=4, attention_resolutions="16,8")
+    model, diffusion = create_model_and_diffusion(cfg)
+
+    def data():
+        rng = np.random.default_rng(0)
+        while True:
+            yield rng.standard_normal((B, T, 4, 32, 32)).astype(np.float32)
+
+    loop = TrainLoop(
+        model=model, diffusion=diffusion, data=data(), batch_size=B,
+        max_frames=K, lr=1e-4, ema_rate="0.9999", log_interval=100,
+        save_interval=10_000, checkpoint_dir=str(tmp_path / "ckpt"),
+        config=cfg, mesh=make_mesh(), init_params=params,
+    )
+    # state params ARE the converted reference weights
+    got = jax.tree.leaves(jax.tree.map(np.asarray, loop.state["params"]))
+    want = jax.tree.leaves(params)
+    np.testing.assert_allclose(got[0], np.asarray(want[0], got[0].dtype), atol=1e-6)
+    loop.run_step()
+    assert int(loop.state["step"]) == 1
