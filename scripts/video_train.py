@@ -159,15 +159,45 @@ def main():
         from lfvdm_tpu.utils.torch_convert import convert_reference_checkpoint
 
         init_params, pt_config = convert_reference_checkpoint(args.init_from_pt)
-        arch_keys = ("image_size", "in_channels", "num_channels", "num_res_blocks",
-                     "num_heads", "num_heads_upsample", "attention_resolutions",
-                     "learn_sigma", "use_scale_shift_norm", "use_rpe_net")
-        adopted = {k: pt_config[k] for k in arch_keys
+        # Checkpoint config wins over CLI, exactly like eval-time
+        # reconstruction (reference video_sample.py:205-213) rebuilds model
+        # AND diffusion from the embedded config. Architecture keys must
+        # match the weights; the diffusion-parameterization keys must match
+        # the loss the weights were trained under — fine-tuning a
+        # predict_xstart / KL / cosine-schedule checkpoint under mismatched
+        # defaults would silently train toward the wrong target.
+        adopt_keys = ("image_size", "in_channels", "num_channels", "num_res_blocks",
+                      "num_heads", "num_heads_upsample", "attention_resolutions",
+                      "learn_sigma", "use_scale_shift_norm", "use_rpe_net",
+                      "predict_xstart", "use_kl", "noise_schedule",
+                      "diffusion_steps", "sigma_small", "rescale_learned_sigmas",
+                      "rescale_timesteps")
+        adopted = {k: pt_config[k] for k in adopt_keys
                    if k in pt_config and pt_config[k] != getattr(args, k)}
         for k, v in adopted.items():
             setattr(args, k, v)
         if adopted:
-            print(f"init_from_pt: adopted architecture from checkpoint: {adopted}")
+            print("init_from_pt: checkpoint config overrides CLI/default flags "
+                  f"(checkpoint wins): {adopted}")
+        # Adopted architecture must be consistent with the dataset-derived
+        # codec — fail here with a clear message instead of an opaque shape
+        # error at the first batch (e.g. a 3-channel pixel-space checkpoint
+        # fine-tuned on an *_encoded latent dataset).
+        ckpt_space = pt_config.get("diffusion_space", args.diffusion_space)
+        if ckpt_space != args.diffusion_space:
+            raise ValueError(
+                f"--init_from_pt checkpoint was trained in "
+                f"{ckpt_space!r} space but dataset {args.dataset!r} implies "
+                f"{args.diffusion_space!r} space — pick a matching dataset "
+                "or checkpoint"
+            )
+        expected_in = 4 if args.diffusion_space == "latent" else 3
+        if args.in_channels != expected_in:
+            raise ValueError(
+                f"--init_from_pt checkpoint has in_channels={args.in_channels} "
+                f"but {args.diffusion_space!r}-space training on "
+                f"{args.dataset!r} needs in_channels={expected_in}"
+            )
 
     config = vars(args)
     model, diffusion = create_model_and_diffusion(config)
@@ -221,6 +251,7 @@ def main():
         schedule_sampler=create_named_schedule_sampler(args.schedule_sampler, diffusion),
         checkpoint_dir=args.checkpoint_dir,
         resume=args.resume,
+        init_params=init_params,
         config=config,
         fsdp=args.fsdp,
         seed=args.seed,
