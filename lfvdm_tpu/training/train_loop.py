@@ -257,6 +257,7 @@ class TrainLoop:
         config: Optional[Dict] = None,
         mesh=None,
         fsdp: int = 1,
+        fsdp_min_size: int = 2**16,
         seed: int = 0,
         sample_fn: Optional[Callable] = None,
         profile_dir: Optional[str] = None,
@@ -357,7 +358,9 @@ class TrainLoop:
 
         # Place params per the FSDP rule; Adam moments and EMA copies inherit
         # the same shardings through XLA's sharding propagation.
-        params = jax.device_put(params, fsdp_param_sharding(self.mesh, params))
+        params = jax.device_put(
+            params, fsdp_param_sharding(self.mesh, params, min_size=fsdp_min_size)
+        )
         self.state = jax.jit(partial(init_train_state, tx=self.tx, ema_rates=self.ema_rates))(
             params
         )
@@ -369,8 +372,12 @@ class TrainLoop:
         if resume:
             latest = ckpt_lib.find_latest_step(checkpoint_dir)
             if latest is not None:
+                # Restore straight onto the training shardings (the state is
+                # already placed on the mesh): orbax reads each process's
+                # shards directly — no replicated host copy on pods.
                 abstract = jax.tree.map(
-                    lambda x: jax.ShapeDtypeStruct(x.shape, x.dtype), self.state
+                    lambda x: jax.ShapeDtypeStruct(x.shape, x.dtype, sharding=x.sharding),
+                    self.state,
                 )
                 self.state, self.step, _ = ckpt_lib.load_checkpoint(
                     checkpoint_dir, abstract, latest
@@ -563,9 +570,13 @@ class TrainLoop:
             self.save()
 
     def save(self):
+        # Hand orbax the live (possibly fsdp-sharded) jax.Arrays: it performs
+        # the collective, per-shard multi-host save natively. A host-numpy
+        # hop here would raise on any genuinely sharded (non-addressable)
+        # param — the production fsdp pod path (ref semantics:
+        # train_util.py:373-402).
         ckpt_lib.save_checkpoint(
-            self.checkpoint_dir, self.step,
-            jax.tree.map(np.asarray, self.state), config=self.config,
+            self.checkpoint_dir, self.step, self.state, config=self.config,
         )
 
     @property

@@ -63,6 +63,7 @@ def create_argparser():
         init_from_pt="",  # warm-start from a converted reference .pt checkpoint
                           # (fine-tune; fresh optimizer/EMA, step 0)
         fsdp=1,
+        fsdp_min_size=65536,  # params below this many elements stay replicated
         max_steps=0,
         use_wandb=False,
         resume_id="",  # resume the run with this id (wandb run id == ckpt dir key)
@@ -254,6 +255,7 @@ def main():
         init_params=init_params,
         config=config,
         fsdp=args.fsdp,
+        fsdp_min_size=args.fsdp_min_size,
         seed=args.seed,
         profile_dir=args.profile_dir or None,
         sample_fn=sample_fn,
