@@ -24,7 +24,7 @@ import numpy as np
 A100_EFFECTIVE_FLOPS = 35e12  # assumed eager-torch effective throughput
 
 
-def upsample_flop_correction(NT, H, num_channels, ch_mult=(1, 1, 2, 3, 4)):
+def upsample_flop_correction(NT, H, num_channels, ch_mult=None):
     """XLA-measured FLOP delta (naive repeat+conv − dilated form) summed over
     every upsample level, plus the count of levels that yielded a delta.
 
@@ -38,8 +38,14 @@ def upsample_flop_correction(NT, H, num_channels, ch_mult=(1, 1, 2, 3, 4)):
     import jax
     import jax.numpy as jnp
 
+    from lfvdm_tpu.config import CHANNEL_MULT_BY_IMAGE_SIZE, flagship_config
     from lfvdm_tpu.models.unet import dilated_upsample_conv, naive_upsample_conv
 
+    if ch_mult is None:
+        # Same source as the flagship model itself (H may be a shrunken test
+        # size; the LEVEL STRUCTURE must stay the flagship's).
+        size = H if H in CHANNEL_MULT_BY_IMAGE_SIZE else flagship_config()["image_size"]
+        ch_mult = CHANNEL_MULT_BY_IMAGE_SIZE[size]
     delta = 0.0
     levels = 0
     res = H // (2 ** (len(ch_mult) - 1))
@@ -66,16 +72,18 @@ def main():
     import jax
     import jax.numpy as jnp
 
-    from lfvdm_tpu.config import create_model_and_diffusion, enable_compilation_cache
+    from lfvdm_tpu.config import (
+        create_model_and_diffusion,
+        enable_compilation_cache,
+        flagship_config,
+    )
 
     # Persistent compile cache on by default (~/.cache/lfvdm_xla): the
     # flagship sampler scan takes minutes to compile over the tunnel;
     # relaunches should not.
     enable_compilation_cache()
 
-    cfg = dict(image_size=128, in_channels=3, num_channels=128, num_res_blocks=1,
-               attention_resolutions="16,8", diffusion_steps=1000,
-               compute_dtype="bfloat16")
+    cfg = flagship_config()
     model, diffusion = create_model_and_diffusion(cfg)
 
     # K/H = released-checkpoint shape; B=2 = its training batch and the best
@@ -86,7 +94,7 @@ def main():
     # concurrent host-CPU-heavy job depresses even a single-launch scan 40%
     # (1175 f/s), so benches must run alone. LFVDM_BENCH_B overrides.
     B = int(os.environ.get("LFVDM_BENCH_B", "2"))
-    K, C, H = 20, 3, 128
+    K, C, H = 20, cfg["in_channels"], cfg["image_size"]
     rng = np.random.default_rng(0)
     x0 = jnp.asarray(rng.standard_normal((B, K, C, H, H)), jnp.float32)
     t = jnp.zeros((B,), jnp.int32)

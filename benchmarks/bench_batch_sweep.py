@@ -22,7 +22,7 @@ def run_one(B, n_steps, cfg):
     import jax
     import jax.numpy as jnp
 
-    from lfvdm_tpu.config import create_model_and_diffusion
+    from lfvdm_tpu.config import create_model_and_diffusion, flagship_config
 
     model, diffusion = create_model_and_diffusion(cfg)
     K, C, H = 20, 3, cfg["image_size"]
@@ -79,9 +79,7 @@ def main():
 
     import jax
 
-    cfg = dict(image_size=128, in_channels=3, num_channels=128, num_res_blocks=1,
-               attention_resolutions="16,8", diffusion_steps=1000,
-               compute_dtype="bfloat16")
+    cfg = flagship_config()
     for B in [int(b) for b in args.batches.split(",")]:
         res = run_one(B, args.steps, cfg)
         res["device"] = str(jax.devices()[0])

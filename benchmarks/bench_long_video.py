@@ -22,7 +22,7 @@ import time
 import jax
 import numpy as np
 
-from lfvdm_tpu.config import create_model_and_diffusion
+from lfvdm_tpu.config import create_model_and_diffusion, flagship_config
 from lfvdm_tpu.sampling.driver import VideoSampler
 
 
@@ -42,9 +42,7 @@ def main():
                          "lattice (N = --respace, designed regime 10-25)")
     args = ap.parse_args()
 
-    cfg = dict(image_size=128, in_channels=3, num_channels=128, num_res_blocks=1,
-               attention_resolutions="16,8", diffusion_steps=1000,
-               compute_dtype="bfloat16")
+    cfg = flagship_config()
     if args.respace:
         cfg["timestep_respacing"] = (
             f"dpm{args.respace}" if args.sampler == "dpm" else str(args.respace))

@@ -19,13 +19,11 @@ import jax
 import jax.numpy as jnp
 import numpy as np
 
-from lfvdm_tpu.config import create_model_and_diffusion
+from lfvdm_tpu.config import create_model_and_diffusion, flagship_config
 
 
 def capture(out_dir: str, steps: int):
-    cfg = dict(image_size=128, in_channels=3, num_channels=128, num_res_blocks=1,
-               attention_resolutions="16,8", diffusion_steps=1000,
-               compute_dtype="bfloat16")
+    cfg = flagship_config()
     model, _ = create_model_and_diffusion(cfg)
     B, K, C, H = 2, 20, 3, 128
     rng = np.random.default_rng(0)

@@ -54,6 +54,26 @@ def model_and_diffusion_defaults() -> Dict[str, Any]:
     )
 
 
+def flagship_config(tiny: bool = False) -> Dict[str, Any]:
+    """THE flagship benchmark/entry config — single source of truth.
+
+    Full: the CARLA pixel-space training config of the released reference
+    checkpoint (reference README.md:54-57): 128px, 128 channels, 1 res
+    block, K=20, bf16 torso. Everything perf-related (bench.py,
+    __graft_entry__, benchmarks/*) must import this rather than restating
+    the dict, so the numbers can't drift apart.
+
+    Tiny: the shape-compatible miniature used by dryruns and smoke tests.
+    """
+    if tiny:
+        return dict(image_size=32, in_channels=2, num_channels=32, num_res_blocks=1,
+                    attention_resolutions="8", diffusion_steps=8,
+                    noise_schedule="cosine", compute_dtype="float32")
+    return dict(image_size=128, in_channels=3, num_channels=128, num_res_blocks=1,
+                attention_resolutions="16,8", diffusion_steps=1000,
+                compute_dtype="bfloat16")
+
+
 def create_model(
     image_size: int,
     in_channels: int,
