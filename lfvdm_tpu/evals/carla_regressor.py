@@ -118,8 +118,10 @@ class MultiHeadResNet152(nn.Module):
         kernels = self.param("head_kernels", nn.initializers.lecun_normal(),
                              (self.num_heads, 2048, 2))
         biases = self.param("head_biases", nn.initializers.zeros, (self.num_heads, 2))
-        k = kernels[cells]  # (B, 2048, 2) — one-gather head dispatch
-        b = biases[cells]
+        # jnp.asarray: converted checkpoints hand flax host-numpy params,
+        # and numpy arrays cannot be indexed by a traced cell id under jit.
+        k = jnp.asarray(kernels)[cells]  # (B, 2048, 2) — one-gather head dispatch
+        b = jnp.asarray(biases)[cells]
         return jnp.einsum("bf,bfo->bo", emb, k) + b
 
 

@@ -112,13 +112,18 @@ class I3D(nn.Module):
         x = max_pool_3d(x, (2, 2, 2), (2, 2, 2))
         x = InceptionBlock(*_MIXED["Mixed_5b"], name="Mixed_5b")(x)
         x = InceptionBlock(*_MIXED["Mixed_5c"], name="Mixed_5c")(x)
-        # Logits head: global spatial avg-pool (TF uses a (2,7,7) VALID pool;
-        # averaging over the full remaining extent is equivalent for 224^2
-        # inputs followed by the time-mean below).
+        # Logits head, hub-exact: the TF graph avg-pools with ksize (2,7,7),
+        # STRIDE 1, VALID. For 224^2 inputs the spatial extent here is
+        # exactly 7, so the spatial part equals a full mean; the temporal
+        # part is a window-2 stride-1 moving average (T' -> T'-1), which for
+        # T' > 2 weights interior frames more than the endpoints — a plain
+        # time-mean would deviate from published FVD features on long clips.
         x = jnp.mean(x, axis=(2, 3), keepdims=True)  # (B, T', 1, 1, C)
+        if x.shape[1] > 1:
+            x = (x[:, :-1] + x[:, 1:]) / 2  # (B, T'-1, 1, 1, C)
         x = Unit3D(self.num_classes, use_bn=False, activation=False,
                    name="Logits/Conv3d_0c_1x1")(x)
-        x = jnp.squeeze(x, axis=(2, 3))  # (B, T', 400)
+        x = jnp.squeeze(x, axis=(2, 3))  # (B, T'-1, 400)
         return jnp.mean(x, axis=1)
 
 
@@ -160,15 +165,30 @@ class I3DFeatureExtractor:
 
     @staticmethod
     def _load_npz(path: str):
-        """Flat 'collection/slash/path' npz -> nested variables dict."""
+        """Flat 'collection/slash/path' npz -> nested variables dict.
+
+        Flax scope names here CONTAIN slashes ("Branch_0/Conv3d_0a_1x1",
+        "Logits/Conv3d_0c_1x1" are single dict keys), so those path pairs
+        must be re-joined rather than nested — splitting on every slash
+        produces a tree Flax cannot find parameters in.
+        """
         flat = dict(np.load(path))
         variables: dict = {}
         for key, val in flat.items():
             parts = key.split("/")
+            merged = []
+            i = 0
+            while i < len(parts):
+                if parts[i].startswith("Branch_") or parts[i] == "Logits":
+                    merged.append(parts[i] + "/" + parts[i + 1])
+                    i += 2
+                else:
+                    merged.append(parts[i])
+                    i += 1
             node = variables
-            for p in parts[:-1]:
+            for p in merged[:-1]:
                 node = node.setdefault(p, {})
-            node[parts[-1]] = jnp.asarray(val)
+            node[merged[-1]] = jnp.asarray(val)
         return variables
 
     def __call__(self, videos: np.ndarray) -> np.ndarray:

@@ -54,7 +54,15 @@ class GroupNorm32(nn.Module):
     out_dtype: jnp.dtype = None
 
     @nn.compact
-    def __call__(self, x: jnp.ndarray, precomputed_sums=None) -> jnp.ndarray:
+    def __call__(self, x: jnp.ndarray, precomputed_sums=None,
+                 coeffs_only: bool = False) -> jnp.ndarray:
+        """``coeffs_only=True`` (requires ``precomputed_sums``): return the
+        per-(sample, channel) affine pair (mul, add), both (N, C) f32, with
+        y = x·mul + add, WITHOUT touching ``x``'s values — so a consumer can
+        apply the normalization to unconcatenated parts of x (the up path's
+        no-concat fast path) while this module still owns the scale/bias
+        params. ``x`` may then be a never-materialized concat; only its
+        shape/dtype are read here."""
         C = x.shape[-1]
         G = self.groups if C % self.groups == 0 else math.gcd(self.groups, C)
         N = x.shape[0]
@@ -125,6 +133,12 @@ class GroupNorm32(nn.Module):
         c_rstd = jnp.repeat(g_rstd, C // G, axis=-1)
         mul = c_rstd * scale[None]
         add = bias[None] - c_mean * mul
+        if coeffs_only:
+            assert precomputed_sums is not None, (
+                "coeffs_only needs precomputed_sums — otherwise the stats "
+                "pass itself would read x"
+            )
+            return mul, add
         y = x.astype(jnp.float32) * mul.reshape(bshape) + add.reshape(bshape)
         return y.astype(self.out_dtype or orig_dtype)
 

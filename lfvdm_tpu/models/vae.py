@@ -137,10 +137,13 @@ class TemporalResnetBlock(nn.Module):
 
     @nn.compact
     def __call__(self, x):  # (B, T, H, W, C)
-        h = nn.silu(GN(name="norm1")(x.reshape(-1, *x.shape[2:])).reshape(x.shape))
+        # GroupNorm stats span (T, H, W) jointly — torch GroupNorm on the
+        # 5-D (B, C, T, H, W) input (diffusers TemporalResnetBlock), NOT
+        # per-frame stats; GN flattens all non-batch/channel dims already.
+        h = nn.silu(GN(name="norm1")(x))
         h = nn.Conv(self.out_channels, (3, 1, 1), padding=((1, 1), (0, 0), (0, 0)),
                     name="conv1")(h)
-        h2 = nn.silu(GN(name="norm2")(h.reshape(-1, *h.shape[2:])).reshape(h.shape))
+        h2 = nn.silu(GN(name="norm2")(h))
         h2 = nn.Conv(self.out_channels, (3, 1, 1), padding=((1, 1), (0, 0), (0, 0)),
                      name="conv2")(h2)
         if x.shape[-1] != self.out_channels:
@@ -195,6 +198,37 @@ class TemporalDecoder(nn.Module):
         return ht.reshape(BT, H, W, C)
 
 
+def encoder_config_from_params(variables) -> dict:
+    """Infer Encoder config from a converted param tree (weights win over
+    assumptions — a miniature or future-variant checkpoint builds a matching
+    module instead of failing with an opaque shape error)."""
+    p = variables.get("params", variables)
+    blocks = []
+    while f"down_{len(blocks)}_res_0" in p:
+        blocks.append(int(p[f"down_{len(blocks)}_res_0"]["conv1"]["kernel"].shape[-1]))
+    layers = 0
+    while f"down_0_res_{layers}" in p:
+        layers += 1
+    latent = int(p["quant_conv"]["kernel"].shape[-1]) // 2
+    return dict(block_out_channels=tuple(blocks), layers_per_block=layers,
+                latent_channels=latent)
+
+
+def decoder_config_from_params(variables) -> dict:
+    """Infer TemporalDecoder config from a converted param tree."""
+    p = variables.get("params", variables)
+    rev = []
+    while f"up_{len(rev)}_res_0" in p:
+        rev.append(int(
+            p[f"up_{len(rev)}_res_0"]["spatial_res_block"]["conv1"]["kernel"].shape[-1]))
+    layers = 0
+    while f"up_0_res_{layers}" in p:
+        layers += 1
+    out_ch = int(p["conv_out"]["kernel"].shape[-1])
+    return dict(block_out_channels=tuple(reversed(rev)), layers_per_block=layers - 1,
+                out_channels=out_ch)
+
+
 class SVDVae:
     """Bundle: params + chunked video encode/decode (reference API shape).
 
@@ -207,15 +241,18 @@ class SVDVae:
 
     def __init__(self, variables=None, rng_seed: int = 0, image_size: int = 256,
                  dtype=jnp.bfloat16):
-        self.encoder = Encoder()
-        self.decoder = TemporalDecoder()
         self.dtype = dtype
         if variables is not None:
             self.enc_vars, self.dec_vars = variables
+            # Module config comes from the WEIGHTS, not assumptions.
+            self.encoder = Encoder(**encoder_config_from_params(self.enc_vars))
+            self.decoder = TemporalDecoder(**decoder_config_from_params(self.dec_vars))
             self.pretrained = True
         else:
             print("SVD VAE weights unavailable — randomly initialized "
                   "(convert with scripts/convert_svd_vae.py).")
+            self.encoder = Encoder()
+            self.decoder = TemporalDecoder()
             key = jax.random.PRNGKey(rng_seed)
             dummy_img = jnp.zeros((1, image_size, image_size, 3), jnp.float32)
             dummy_lat = jnp.zeros((1, image_size // 8, image_size // 8, 4), jnp.float32)

@@ -137,21 +137,32 @@ def main():
     # --- numeric validation ---
     import jax.numpy as jnp
 
-    from lfvdm_tpu.models.vae import Encoder, TemporalDecoder
+    from lfvdm_tpu.models.vae import (
+        Encoder,
+        TemporalDecoder,
+        decoder_config_from_params,
+        encoder_config_from_params,
+    )
 
+    enc_cfg = encoder_config_from_params(enc_vars)
+    dec_cfg = decoder_config_from_params(dec_vars)
     rng = np.random.default_rng(0)
     img = rng.uniform(-1, 1, (1, 3, 64, 64)).astype(np.float32)
     with torch.no_grad():
         ref_moments = vae.quant_conv(vae.encoder(torch.tensor(img))).numpy()
-    ours = np.asarray(Encoder().apply(enc_vars, jnp.asarray(img.transpose(0, 2, 3, 1))))
+    ours = np.asarray(Encoder(**enc_cfg).apply(
+        enc_vars, jnp.asarray(img.transpose(0, 2, 3, 1))))
     np.testing.assert_allclose(ours.transpose(0, 3, 1, 2), ref_moments, rtol=1e-3, atol=1e-3)
     print("encoder validation OK")
 
-    lat = rng.standard_normal((1, 4, 8, 8)).astype(np.float32)
+    # Multi-frame latents: exercises the temporal resnets' cross-frame
+    # GroupNorm stats and the (3,1,1) time convs with real temporal extent.
+    T = 4
+    lat = rng.standard_normal((T, enc_cfg["latent_channels"], 8, 8)).astype(np.float32)
     with torch.no_grad():
-        ref_img = vae.decoder(torch.tensor(lat), num_frames=1).numpy()
-    ours = np.asarray(TemporalDecoder().apply(dec_vars, jnp.asarray(lat.transpose(0, 2, 3, 1)),
-                                              num_frames=1))
+        ref_img = vae.decoder(torch.tensor(lat), num_frames=T).numpy()
+    ours = np.asarray(TemporalDecoder(**dec_cfg).apply(
+        dec_vars, jnp.asarray(lat.transpose(0, 2, 3, 1)), num_frames=T))
     np.testing.assert_allclose(ours.transpose(0, 3, 1, 2), ref_img, rtol=1e-3, atol=1e-3)
     print("decoder validation OK")
 
