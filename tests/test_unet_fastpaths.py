@@ -100,6 +100,60 @@ def test_resblock_parts_path_matches_concat_conv():
                                rtol=1e-4, atol=1e-3)
 
 
+def test_resblock_split_parts_matches_concat(monkeypatch):
+    """The no-concat up path (split_parts: per-part GN affine + kernel-sliced
+    in_conv/skip_conv) must equal the default concat form with the SAME
+    params — including when part widths don't align with GN group
+    boundaries (c1=48 vs group size (48+80)/32 = 4... exercise c1 not a
+    multiple of the group count split)."""
+    rng = np.random.default_rng(7)
+    for c1, c2 in ((64, 64), (48, 80)):
+        a = jnp.asarray(rng.standard_normal((2, 8, 8, c1)), jnp.float32)
+        b = jnp.asarray(rng.standard_normal((2, 8, 8, c2)), jnp.float32)
+        emb = jnp.asarray(rng.standard_normal((2, 48)), jnp.float32)
+        xcat = jnp.concatenate([a, b], axis=-1)
+        s1a, s2a = channel_sums(a)
+        s1b, s2b = channel_sums(b)
+        stats = (jnp.concatenate([s1a, s1b], -1), jnp.concatenate([s2a, s2b], -1))
+
+        rb = ResBlock(out_channels=32, emit_stats=True)
+        pr = rb.init(jax.random.PRNGKey(8), xcat, emb)
+        out_plain, _ = rb.apply(pr, xcat, emb, stats)
+
+        rb_split = ResBlock(out_channels=32, emit_stats=True, split_parts=True)
+        out_split, st = rb_split.apply(pr, xcat, emb, stats, parts=(a, b))
+        assert st is None  # caller computes channel_sums at the add fusion
+        np.testing.assert_allclose(np.asarray(out_plain), np.asarray(out_split),
+                                   rtol=2e-5, atol=2e-5)
+
+
+def test_unet_split_uppath_matches_default(monkeypatch):
+    """Full-model parity of LFVDM_SPLIT_UPPATH=1 vs the default path."""
+    from lfvdm_tpu.config import create_model_and_diffusion
+
+    cfg = dict(image_size=32, in_channels=3, num_channels=32, num_res_blocks=1,
+               attention_resolutions="16,8", diffusion_steps=8,
+               noise_schedule="cosine", compute_dtype="float32")
+    model, _ = create_model_and_diffusion(cfg)
+    B, K = 1, 4
+    rng = np.random.default_rng(0)
+    x = jnp.asarray(rng.standard_normal((B, K, 3, 32, 32)), jnp.float32)
+    t = jnp.zeros((B,), jnp.int32)
+    fi = jnp.asarray(np.arange(K)[None], jnp.int32)
+    obs = jnp.zeros((B, K, 1, 1, 1), jnp.float32).at[:, :1].set(1.0)
+    kw = dict(x0=x, frame_indices=fi, obs_mask=obs, latent_mask=1 - obs)
+    params = model.init(jax.random.PRNGKey(0), x, t, **kw)
+    params = jax.tree.map(  # randomize the zero-init head: non-vacuous compare
+        lambda p: p + 0.01 * np.random.default_rng(1)
+        .standard_normal(p.shape).astype(p.dtype), params)
+
+    monkeypatch.setenv("LFVDM_SPLIT_UPPATH", "0")
+    out0 = np.asarray(model.apply(params, x, t, **kw)[0])
+    monkeypatch.setenv("LFVDM_SPLIT_UPPATH", "1")
+    out1 = np.asarray(model.apply(params, x, t, **kw)[0])
+    np.testing.assert_allclose(out0, out1, rtol=2e-5, atol=2e-5)
+
+
 def test_nchw_out_conv_matches_nn_conv():
     rng = np.random.default_rng(4)
     x = jnp.asarray(rng.standard_normal((2, 7, 7, 16)), jnp.float32)
