@@ -1,0 +1,120 @@
+"""Same-launch interleaved A/B of any trace-time env flag on the flagship sampler.
+
+Generalizes ab_split_uppath.py: separate bench.py launches on the tunneled
+runtime drift by ±0.5-1 ms (more under host contention), larger than most
+single-optimization effects. This harness AOT-compiles BOTH variants of a
+trace-time flag in ONE process, then interleaves timed full-N-step scan
+launches OFF,ON,OFF,ON,... so slow drift hits both arms equally.
+
+Usage (TPU, quiet host):
+    python benchmarks/ab_envflag.py LFVDM_SPLIT_UPPATH [--pairs 3]
+    python benchmarks/ab_envflag.py LFVDM_PALLAS_TEMPORAL --on 1 --off 0
+"""
+
+import _path  # noqa: F401  (repo root on sys.path)
+
+import argparse
+import json
+import os
+import time
+
+import numpy as np
+
+
+def main():
+    ap = argparse.ArgumentParser()
+    ap.add_argument("flag", help="env var read at trace time")
+    ap.add_argument("--on", default="1")
+    ap.add_argument("--off", default="0")
+    ap.add_argument("--pairs", type=int, default=3)
+    ap.add_argument("--steps", type=int, default=1000)
+    ap.add_argument("--check_parity", action="store_true",
+                    help="assert the two variants agree numerically (rtol 2e-2)")
+    args = ap.parse_args()
+
+    import jax
+    import jax.numpy as jnp
+
+    from lfvdm_tpu.config import (
+        create_model_and_diffusion,
+        enable_compilation_cache,
+        flagship_config,
+    )
+
+    enable_compilation_cache()
+    cfg = flagship_config()
+    model, diffusion = create_model_and_diffusion(cfg)
+
+    B, K, C, H = 2, 20, cfg["in_channels"], cfg["image_size"]
+    rng = np.random.default_rng(0)
+    x0 = jnp.asarray(rng.standard_normal((B, K, C, H, H)), jnp.float32)
+    fi = jnp.asarray(np.tile(np.arange(K)[None], (B, 1)), jnp.int32)
+    obs = jnp.zeros((B, K, 1, 1, 1), jnp.float32).at[:, : K // 2].set(1.0)
+    lat = 1.0 - obs
+    model_kwargs = dict(x0=x0, frame_indices=fi, obs_mask=obs, latent_mask=lat)
+
+    # param tree must be variant-independent (flags may only change the
+    # compute graph, not parameters) — init once under OFF and share.
+    os.environ[args.flag] = args.off
+    params = jax.jit(model.init)(jax.random.PRNGKey(0), x0,
+                                 jnp.zeros((B,), jnp.int32), **model_kwargs)
+
+    def model_fn(x, ts, **kw):
+        return model.apply(params, x, ts, **kw)[0]
+
+    N_STEPS = min(args.steps, diffusion.num_timesteps)
+
+    def sampler_chunk(noise, rng_key):
+        def step(carry, s):
+            img, key = carry
+            key, sub = jax.random.split(key)
+            t_b = jnp.full((B,), s, jnp.int32)
+            out = diffusion.p_sample(model_fn, img, t_b, sub,
+                                     model_kwargs=model_kwargs)
+            return (out["sample"], key), None
+
+        steps = jnp.arange(N_STEPS - 1, -1, -1)
+        (img, _), _ = jax.lax.scan(step, (noise, rng_key), steps)
+        return img
+
+    noise = jnp.asarray(rng.standard_normal((B, K, C, H, H)), jnp.float32)
+    key = jax.random.PRNGKey(1)
+
+    compiled, warm = {}, {}
+    for name, value in (("off", args.off), ("on", args.on)):
+        os.environ[args.flag] = value  # read at trace time
+        compiled[name] = jax.jit(sampler_chunk).lower(noise, key).compile()
+        warm[name] = np.asarray(compiled[name](noise, key))  # fenced warmup
+
+    if args.check_parity:
+        err = float(np.max(np.abs(warm["on"] - warm["off"])))
+        assert np.allclose(warm["on"], warm["off"], rtol=2e-2, atol=2e-2), err
+        print(f"parity ok: max abs diff {err:.2e}")
+
+    times = {"off": [], "on": []}
+    for i in range(args.pairs):
+        for name in ("off", "on"):
+            t0 = time.perf_counter()
+            out = np.asarray(compiled[name](noise, jax.random.fold_in(key, 1 + i)))
+            times[name].append(time.perf_counter() - t0)
+            assert np.isfinite(out).all()
+
+    ms = {k: [round(v / N_STEPS * 1e3, 3) for v in ts] for k, ts in times.items()}
+    best = {k: min(v) for k, v in ms.items()}
+    pair_delta_ms = [round(a - b, 3) for a, b in zip(ms["off"], ms["on"])]
+    print(json.dumps({
+        "metric": f"{args.flag.lower()}_ab_ms_per_call",
+        "off_ms_per_call": ms["off"],
+        "on_ms_per_call": ms["on"],
+        "best_off": best["off"],
+        "best_on": best["on"],
+        "pair_delta_off_minus_on_ms": pair_delta_ms,
+        "winner": "on" if best["on"] < best["off"] else "off",
+        "device": str(jax.devices()[0]),
+        "config": f"carla pixel {H}px ch{cfg['num_channels']} K{K} B{B} bf16 "
+                  f"{N_STEPS}-step scan, interleaved",
+    }))
+
+
+if __name__ == "__main__":
+    main()
