@@ -64,7 +64,13 @@ def main():
 
     N_STEPS = min(args.steps, diffusion.num_timesteps)
 
-    def sampler_chunk(noise, rng_key):
+    def sampler_chunk(noise, seed):
+        # Key built in-trace so LFVDM_RNG_IMPL (threefry / rbg / unsafe_rbg)
+        # is itself A/B-able: the typed key's impl propagates through every
+        # split/normal in the scan.
+        impl = os.environ.get("LFVDM_RNG_IMPL", "threefry2x32")
+        rng_key = jax.random.key(seed, impl=impl)
+
         def step(carry, s):
             img, key = carry
             key, sub = jax.random.split(key)
@@ -78,13 +84,13 @@ def main():
         return img
 
     noise = jnp.asarray(rng.standard_normal((B, K, C, H, H)), jnp.float32)
-    key = jax.random.PRNGKey(1)
+    seed = jnp.asarray(1, jnp.uint32)
 
     compiled, warm = {}, {}
     for name, value in (("off", args.off), ("on", args.on)):
         os.environ[args.flag] = value  # read at trace time
-        compiled[name] = jax.jit(sampler_chunk).lower(noise, key).compile()
-        warm[name] = np.asarray(compiled[name](noise, key))  # fenced warmup
+        compiled[name] = jax.jit(sampler_chunk).lower(noise, seed).compile()
+        warm[name] = np.asarray(compiled[name](noise, seed))  # fenced warmup
 
     if args.check_parity:
         err = float(np.max(np.abs(warm["on"] - warm["off"])))
@@ -95,7 +101,7 @@ def main():
     for i in range(args.pairs):
         for name in ("off", "on"):
             t0 = time.perf_counter()
-            out = np.asarray(compiled[name](noise, jax.random.fold_in(key, 1 + i)))
+            out = np.asarray(compiled[name](noise, jnp.asarray(1 + i, jnp.uint32)))
             times[name].append(time.perf_counter() - t0)
             assert np.isfinite(out).all()
 

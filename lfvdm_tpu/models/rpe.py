@@ -155,9 +155,13 @@ class RPEAttention(nn.Module):
         h = GroupNorm32(name="norm")(x.reshape(B * D, T, C)).reshape(B, D, T, C)
         qkv = torch_default_dense(3 * C, C, dtype=self.dtype, name="qkv")(h)
         qkv = qkv.reshape(B, D, T, 3, H, F)
-        q, k, v = (
-            jnp.moveaxis(qkv[:, :, :, i], -2, 2) for i in range(3)
-        )  # each (B, D, H, T, F)
+        # Natural layout: (B, D, T, H, F) — the head split is a free view of
+        # the channel axis (F stays minor). LFVDM_ATTN_NATURAL=1 keeps the
+        # einsums on this layout so XLA decides where (or whether) to
+        # transpose, instead of materializing explicit (B, D, H, T, F)
+        # copies; measured A/B in BASELINE.md.
+        natural = os.environ.get("LFVDM_ATTN_NATURAL", "0") == "1"
+        qn, kn, vn = (qkv[:, :, :, i] for i in range(3))  # each (B, D, T, H, F)
 
         use_any_rpe = self.use_rpe_q or self.use_rpe_k or self.use_rpe_v
         all_rpe = self.use_rpe_q and self.use_rpe_k and self.use_rpe_v
@@ -199,6 +203,9 @@ class RPEAttention(nn.Module):
                 and (all_rpe or not use_any_rpe)
             )
 
+        if use_pallas or not natural:
+            q, k, v = (jnp.moveaxis(a, -2, 2) for a in (qn, kn, vn))  # (B, D, H, T, F)
+
         if use_pallas and not use_any_rpe:
             # Fused spatial kernel: (B, D, H, T, F) is already the kernel's
             # (batch, batch, heads, tokens, features) layout.
@@ -226,6 +233,40 @@ class RPEAttention(nn.Module):
             out = jnp.moveaxis(out.astype(self.dtype), 2, -2).reshape(B, D, T, C)
             out = zero_init_dense(C, dtype=self.dtype, name="proj_out")(out)
             return h + out, None
+
+        if natural:
+            # Same contractions, operands left in their producer layout
+            # (head axis at -2, F minor); the output comes back as
+            # (B, D, T, H, F) so the final reshape to (B, D, T, C) is free.
+            logits = jnp.einsum(
+                "bdthf,bdshf->bdhts", qn * scale, kn, preferred_element_type=jnp.float32
+            )
+            if self.use_rpe_k:
+                R_k = make_rpe("rpe_k")(pd, temb)
+                logits = logits + jnp.einsum(
+                    "bdthf,btshf->bdhts", qn * scale, R_k, preferred_element_type=jnp.float32
+                )
+            if self.use_rpe_q:
+                R_q = make_rpe("rpe_q")(pd, temb)
+                logits = logits + jnp.einsum(
+                    "bdshf,bsthf->bdhts", kn * scale, R_q, preferred_element_type=jnp.float32
+                )
+            attn = two_group_softmax(logits, attn_mask)
+            attn_c = attn.astype(self.dtype)
+            out = jnp.einsum(
+                "bdhts,bdshf->bdthf", attn_c, vn, preferred_element_type=jnp.float32
+            )
+            if self.use_rpe_v:
+                R_v = make_rpe("rpe_v")(pd, temb)
+                out = out + jnp.einsum(
+                    "bdhts,btshf->bdthf", attn_c, R_v, preferred_element_type=jnp.float32
+                )
+            out = out.astype(self.dtype).reshape(B, D, T, C)
+            out = zero_init_dense(C, dtype=self.dtype, name="proj_out")(out)
+            result = h + out
+            if return_attn:
+                return result, attn
+            return result, None
 
         logits = jnp.einsum(
             "bdhtf,bdhsf->bdhts", q * scale, k, preferred_element_type=jnp.float32

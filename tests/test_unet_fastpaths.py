@@ -154,6 +154,34 @@ def test_unet_split_uppath_matches_default(monkeypatch):
     np.testing.assert_allclose(out0, out1, rtol=2e-5, atol=2e-5)
 
 
+def test_unet_attn_natural_layout_matches_default(monkeypatch):
+    """Full-model parity of LFVDM_ATTN_NATURAL=1 (attention einsums on the
+    producer (B,D,T,H,F) layout, no explicit moveaxis) vs the default."""
+    from lfvdm_tpu.config import create_model_and_diffusion
+
+    cfg = dict(image_size=32, in_channels=3, num_channels=32, num_res_blocks=1,
+               attention_resolutions="16,8", diffusion_steps=8,
+               noise_schedule="cosine", compute_dtype="float32")
+    model, _ = create_model_and_diffusion(cfg)
+    B, K = 1, 4
+    rng = np.random.default_rng(0)
+    x = jnp.asarray(rng.standard_normal((B, K, 3, 32, 32)), jnp.float32)
+    t = jnp.zeros((B,), jnp.int32)
+    fi = jnp.asarray(np.arange(K)[None], jnp.int32)
+    obs = jnp.zeros((B, K, 1, 1, 1), jnp.float32).at[:, :1].set(1.0)
+    kw = dict(x0=x, frame_indices=fi, obs_mask=obs, latent_mask=1 - obs)
+    params = model.init(jax.random.PRNGKey(0), x, t, **kw)
+    params = jax.tree.map(  # randomize the zero-init head: non-vacuous compare
+        lambda p: p + 0.01 * np.random.default_rng(1)
+        .standard_normal(p.shape).astype(p.dtype), params)
+
+    monkeypatch.setenv("LFVDM_ATTN_NATURAL", "0")
+    out0 = np.asarray(model.apply(params, x, t, **kw)[0])
+    monkeypatch.setenv("LFVDM_ATTN_NATURAL", "1")
+    out1 = np.asarray(model.apply(params, x, t, **kw)[0])
+    np.testing.assert_allclose(out0, out1, rtol=2e-5, atol=2e-5)
+
+
 def test_nchw_out_conv_matches_nn_conv():
     rng = np.random.default_rng(4)
     x = jnp.asarray(rng.standard_normal((2, 7, 7, 16)), jnp.float32)
