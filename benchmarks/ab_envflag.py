@@ -75,6 +75,15 @@ def main():
             img, key = carry
             key, sub = jax.random.split(key)
             t_b = jnp.full((B,), s, jnp.int32)
+            # Diagnostic arm (NOT a sampler): delete the entire p_sample
+            # wrapper (posterior math, clip, noise gen, ancestral update)
+            # and keep only the model call + a minimal combine. Used to
+            # test whether per-op device-time attribution is additive
+            # wall-clock on this chip.
+            if os.environ.get("LFVDM_AB_NOWRAPPER", "0") == "1":
+                raw = diffusion.call_model(model_fn, img, t_b, model_kwargs)
+                nxt = img - 0.01 * raw[..., : img.shape[-3], :, :]
+                return (nxt, key), None
             out = diffusion.p_sample(model_fn, img, t_b, sub,
                                      model_kwargs=model_kwargs)
             return (out["sample"], key), None

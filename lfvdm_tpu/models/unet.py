@@ -23,6 +23,7 @@ reference) is intentionally not reproduced.
 
 from __future__ import annotations
 
+import os
 from typing import Tuple
 
 import jax
@@ -106,8 +107,6 @@ def split_uppath_enabled() -> bool:
     custom-call boundary, works under GSPMD/remat (unlike the Pallas
     skip-conv, which stays opt-in and measured-slower).
     """
-    import os
-
     flag = os.environ.get("LFVDM_SPLIT_UPPATH", "")
     if flag in ("0", "off"):
         return False
@@ -394,6 +393,11 @@ class FactorizedAttentionBlock(nn.Module):
         return_attn = self.return_attn
         BT, H, W, C = x.shape
         B = BT // T
+        if os.environ.get("LFVDM_AB_SKIP_ATTN", "0") == "1":
+            # DIAGNOSTIC ONLY (benchmarks/ab_envflag.py): bypass the whole
+            # factorized attention stack to measure its true wall-clock
+            # share inside the sampler scan. Never a valid model.
+            return x, None
         # Temporal: tokens = frames, batched over spatial sites.
         xt = x.reshape(B, T, H * W, C).transpose(0, 2, 1, 3)  # (B, HW, T, C)
         xt, attn_t = RPEAttention(
