@@ -1,0 +1,107 @@
+"""Tracked generative-quality number through the EXACT production pipeline.
+
+One command: overfit-train a small model on the synthetic dataset with
+scripts/video_train.py, sample N test videos with hierarchy-2 via
+scripts/video_sample.py, score them with scripts/video_fvd.py using the
+pinned-seed random-I3D backbone (I3DFeatureExtractor PRNGKey(0) when no
+converted weights exist in-env). The absolute value is NOT comparable to the
+reference's FVD-124 (that needs the released checkpoint + pretrained I3D,
+both egress-blocked here — BASELINE.md), but it is deterministic for a fixed
+config, runs the same three CLIs a user runs
+(/root/reference/scripts/video_fvd.py:64-85 protocol), and makes generative
+regressions visible round-over-round; BASELINE.md records one row per round.
+
+Usage (TPU, ~10-20 min):  python benchmarks/genquality_fvd.py
+Quick smoke (CPU):        LFVDM_PLATFORM=cpu python benchmarks/genquality_fvd.py \
+                              --train_steps 20 --num_videos 4 --T 24
+"""
+
+import _path  # noqa: F401  (repo root on sys.path)
+
+import argparse
+import json
+import os
+import re
+import subprocess
+import sys
+
+REPO = os.path.dirname(os.path.dirname(os.path.abspath(__file__)))
+
+
+def run(cmd, **kw):
+    print("+", " ".join(map(str, cmd)), flush=True)
+    r = subprocess.run([sys.executable] + [str(c) for c in cmd],
+                       cwd=REPO, text=True, capture_output=True, **kw)
+    sys.stdout.write(r.stdout[-3000:])
+    if r.returncode != 0:
+        sys.stderr.write(r.stderr[-3000:])
+        raise SystemExit(f"step failed: {cmd[0]}")
+    return r.stdout
+
+
+def main():
+    ap = argparse.ArgumentParser()
+    ap.add_argument("--workdir", default="/tmp/lfvdm_genquality")
+    ap.add_argument("--train_steps", type=int, default=3000)
+    ap.add_argument("--num_videos", type=int, default=100)
+    ap.add_argument("--num_channels", type=int, default=32)
+    ap.add_argument("--diffusion_steps", type=int, default=64)
+    ap.add_argument("--max_frames", type=int, default=10)
+    ap.add_argument("--n_obs", type=int, default=10)
+    ap.add_argument("--T", type=int, default=100)
+    ap.add_argument("--batch_size", type=int, default=8)
+    ap.add_argument("--skip_train", action="store_true",
+                    help="reuse the checkpoint already in --workdir")
+    args = ap.parse_args()
+
+    ckpt_dir = os.path.join(args.workdir, "ckpt")
+    eval_dir = os.path.join(args.workdir, "samples")
+    os.makedirs(eval_dir, exist_ok=True)
+
+    if not args.skip_train:
+        run(["scripts/video_train.py", "--dataset", "synthetic",
+             "--T", args.T, "--batch_size", args.batch_size,
+             "--max_frames", args.max_frames,
+             "--num_channels", args.num_channels, "--num_res_blocks", "1",
+             "--diffusion_steps", args.diffusion_steps,
+             "--noise_schedule", "cosine",
+             "--lr", "2e-4", "--max_steps", args.train_steps,
+             "--save_interval", max(args.train_steps - 1, 1),
+             "--sample_interval", "0", "--log_interval", "500",
+             "--checkpoint_dir", ckpt_dir, "--seed", "0"])
+
+    run(["scripts/video_sample.py", ckpt_dir,
+         "--sampling_scheme", "hierarchy-2",
+         "--eval_dir", eval_dir, "--dataset", "synthetic",
+         "--T", args.T, "--max_frames", args.max_frames,
+         "--n_obs", args.n_obs, "--batch_size", "4",
+         "--stop_index", args.num_videos, "--seed", "0"])
+
+    # video_sample.py nests its outputs in a scheme-named subdirectory of
+    # --eval_dir (utils/paths.py layout); video_fvd.py takes that subdir.
+    subdirs = [d for d in sorted(os.listdir(eval_dir))
+               if os.path.isdir(os.path.join(eval_dir, d))]
+    assert len(subdirs) == 1, f"expected one scheme dir in {eval_dir}: {subdirs}"
+    scheme_dir = os.path.join(eval_dir, subdirs[0])
+
+    out = run(["scripts/video_fvd.py", "--eval_dir", scheme_dir,
+               "--num_videos", args.num_videos, "--dataset", "synthetic",
+               "--T", args.T])
+    # matches both "FVD: <x>" (fresh) and "... exists: FVD = <x>" (idempotent)
+    m = re.search(r"FVD\s*[:=]\s*([0-9.eE+-]+)", out)
+    fvd = float(m.group(1)) if m else float("nan")
+    print(json.dumps({
+        "metric": "synthetic_fvd_hierarchy2_randi3d",
+        # 6 decimals: random-I3D features give tiny absolute FVDs (~4e-3);
+        # 2-decimal rounding would erase the round-over-round signal.
+        "value": round(fvd, 6),
+        "unit": "FVD (pinned-seed random I3D; not comparable to published)",
+        "num_videos": args.num_videos,
+        "train_steps": args.train_steps,
+        "config": f"synthetic 64px ch{args.num_channels} res1 "
+                  f"K{args.max_frames} steps{args.diffusion_steps} cosine",
+    }))
+
+
+if __name__ == "__main__":
+    main()
