@@ -40,6 +40,9 @@ def model_and_diffusion_defaults() -> Dict[str, Any]:
         diffusion_steps=1000,
         diffusion_space="pixel",
         pre_encoded=False,
+        # Levels of the live wavelet diffusion space (diffusion/wavelet.py);
+        # the reference sketches the space but ships it NotImplemented.
+        wavelet_levels=1,
         noise_schedule="linear",
         timestep_respacing="",
         use_kl=False,

@@ -90,6 +90,36 @@ class VAECodec:
         return self.vae.decode_video(video, chunk_size=self.chunk_size)
 
 
+@dataclasses.dataclass
+class WaveletCodec:
+    """Orthonormal Haar wavelet-packet diffusion space (live, beyond-reference).
+
+    The reference sketches this space but ships only dead code — every
+    wavelet touchpoint raises NotImplementedError
+    (gaussian_diffusion.py:908-909,929-930,946-947; broken dwt.py). Here it
+    works: encode packs (B,T,C,H,W) pixels into (B,T,C·4^L,H/2^L,W/2^L)
+    subband channels via an isometry (diffusion/wavelet.py), so N(0,I) noise
+    and the beta schedule transfer unchanged; decode is the exact inverse.
+    The U-Net then runs at 1/4^L the spatial cost per level in exchange for
+    4^L× channels — the trade the reference's scratch was reaching for.
+    """
+
+    levels: int = 1
+
+    diffusion_space = "wavelet"
+    pre_encoded = False
+
+    def encode(self, video, rng=None):
+        from .wavelet import wavelet_pack
+
+        return wavelet_pack(video, self.levels)
+
+    def decode(self, video):
+        from .wavelet import wavelet_unpack
+
+        return wavelet_unpack(video, self.levels)
+
+
 def make_codec_from_config(config: dict, *, vae_weights: Optional[str] = None,
                            require_vae: bool = False):
     """Build the codec a checkpoint's embedded config implies.
@@ -114,7 +144,8 @@ def make_codec_from_config(config: dict, *, vae_weights: Optional[str] = None,
     if space in (None, "pixel"):
         return PixelCodec()
     if space != "latent":
-        return make_codec(space)  # wavelet -> NotImplementedError, as upstream
+        return make_codec(space,
+                          wavelet_levels=int(config.get("wavelet_levels", 1)))
 
     vae = None
     vae_weights = vae_weights or os.environ.get("LFVDM_VAE_WEIGHTS")
@@ -149,7 +180,8 @@ def make_codec_from_config(config: dict, *, vae_weights: Optional[str] = None,
 
 
 def make_codec(diffusion_space: str, *, pre_encoded: bool = False,
-               pre_encoded_stats: Optional[dict] = None, vae=None, chunk_size: int = 10):
+               pre_encoded_stats: Optional[dict] = None, vae=None, chunk_size: int = 10,
+               wavelet_levels: int = 1):
     """Config-level codec factory (mirrors diffusion_space_kwargs wiring)."""
     if diffusion_space in (None, "pixel"):
         return PixelCodec()
@@ -162,5 +194,6 @@ def make_codec(diffusion_space: str, *, pre_encoded: bool = False,
         assert vae is not None, "online latent space needs a VAE"
         return VAECodec(vae=vae, chunk_size=chunk_size)
     if diffusion_space == "wavelet":
-        raise NotImplementedError("wavelet diffusion space (unimplemented in reference too)")
+        # Live here, NotImplementedError upstream (gaussian_diffusion.py:908).
+        return WaveletCodec(levels=wavelet_levels)
     raise ValueError(f"Unknown diffusion space: {diffusion_space}")

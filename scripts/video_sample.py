@@ -259,6 +259,12 @@ def main():
             print(f"nothing to do for batch {batch_indices}")
             continue
         batch = np.stack([np.asarray(dataset[i]) for i in batch_indices])
+        if getattr(codec, "diffusion_space", "pixel") == "wavelet":
+            # Wavelet checkpoints diffuse in subband space but the test
+            # dataset is pixels: encode GT conditioning frames on the fly
+            # (cheap isometry). Latent checkpoints instead pair with
+            # *_encoded datasets, as in the reference.
+            batch = np.asarray(codec.encode(batch))
         samples, _ = sampler.sample_video(
             batch, scheme_name=args.sampling_scheme, n_obs=args.n_obs,
             max_frames=args.max_frames, step_size=args.max_latent_frames,

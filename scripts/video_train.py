@@ -143,6 +143,14 @@ def main():
             stats = {"mean": np.zeros(4, np.float32), "std": np.ones(4, np.float32)}
     elif args.diffusion_space == "pixel":
         args.in_channels = 3 if args.dataset != "synthetic" else 3
+    elif args.diffusion_space == "wavelet":
+        # Live wavelet-packet space (reference ships it NotImplemented): the
+        # U-Net runs on C*4^L subband channels at 1/2^L spatial resolution.
+        lv = int(args.wavelet_levels)
+        args.in_channels = 3 * 4 ** lv
+        assert args.image_size % (2 ** lv) == 0, (
+            f"image_size {args.image_size} not divisible by 2^{lv}")
+        args.image_size //= 2 ** lv
 
     if stats is not None:
         # Embed the latent norm stats in the run config so eval-time codec
@@ -204,7 +212,8 @@ def main():
     model, diffusion = create_model_and_diffusion(config)
     codec = make_codec(args.diffusion_space, pre_encoded=args.pre_encoded,
                        pre_encoded_stats=stats,
-                       chunk_size=args.enc_dec_chunk_size)
+                       chunk_size=args.enc_dec_chunk_size,
+                       wavelet_levels=int(args.wavelet_levels))
 
     logger.configure(
         log_dir=args.checkpoint_dir, use_wandb=args.use_wandb,

@@ -50,8 +50,12 @@ def test_online_latent_without_vae_raises():
         make_codec_from_config({"diffusion_space": "latent", "pre_encoded": False})
 
 
-def test_wavelet_raises_not_implemented():
-    with pytest.raises(NotImplementedError):
-        make_codec_from_config({"diffusion_space": "wavelet"})
-    with pytest.raises(NotImplementedError):
-        make_codec("wavelet")
+def test_wavelet_space_is_live():
+    """Beyond-reference: upstream raises NotImplementedError for wavelet
+    space (gaussian_diffusion.py:908); here it resolves to a working codec
+    (full pins in test_wavelet.py)."""
+    from lfvdm_tpu.diffusion.codecs import WaveletCodec
+
+    assert isinstance(make_codec_from_config({"diffusion_space": "wavelet"}),
+                      WaveletCodec)
+    assert isinstance(make_codec("wavelet"), WaveletCodec)
