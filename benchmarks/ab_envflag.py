@@ -35,32 +35,18 @@ def main():
     import jax
     import jax.numpy as jnp
 
-    from lfvdm_tpu.config import (
-        create_model_and_diffusion,
-        enable_compilation_cache,
-        flagship_config,
-    )
+    from lfvdm_tpu.config import enable_compilation_cache
+
+    from _sampler_common import FlagshipSetup
 
     enable_compilation_cache()
-    cfg = flagship_config()
-    model, diffusion = create_model_and_diffusion(cfg)
-
-    B, K, C, H = 2, 20, cfg["in_channels"], cfg["image_size"]
-    rng = np.random.default_rng(0)
-    x0 = jnp.asarray(rng.standard_normal((B, K, C, H, H)), jnp.float32)
-    fi = jnp.asarray(np.tile(np.arange(K)[None], (B, 1)), jnp.int32)
-    obs = jnp.zeros((B, K, 1, 1, 1), jnp.float32).at[:, : K // 2].set(1.0)
-    lat = 1.0 - obs
-    model_kwargs = dict(x0=x0, frame_indices=fi, obs_mask=obs, latent_mask=lat)
-
     # param tree must be variant-independent (flags may only change the
     # compute graph, not parameters) — init once under OFF and share.
     os.environ[args.flag] = args.off
-    params = jax.jit(model.init)(jax.random.PRNGKey(0), x0,
-                                 jnp.zeros((B,), jnp.int32), **model_kwargs)
-
-    def model_fn(x, ts, **kw):
-        return model.apply(params, x, ts, **kw)[0]
+    setup = FlagshipSetup(B=2)
+    cfg, diffusion = setup.cfg, setup.diffusion
+    B, K, H = setup.B, setup.K, setup.H
+    model_kwargs, model_fn = setup.model_kwargs, setup.model_fn
 
     N_STEPS = min(args.steps, diffusion.num_timesteps)
 
@@ -92,7 +78,7 @@ def main():
         (img, _), _ = jax.lax.scan(step, (noise, rng_key), steps)
         return img
 
-    noise = jnp.asarray(rng.standard_normal((B, K, C, H, H)), jnp.float32)
+    noise = setup.noise
     seed = jnp.asarray(1, jnp.uint32)
 
     compiled, warm = {}, {}

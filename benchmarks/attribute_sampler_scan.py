@@ -13,14 +13,11 @@ itemized, not guessed.
 import _path  # noqa: F401  (repo root on sys.path)
 
 import jax
-import jax.numpy as jnp
 import numpy as np
 
-from lfvdm_tpu.config import (
-    create_model_and_diffusion,
-    enable_compilation_cache,
-    flagship_config,
-)
+from lfvdm_tpu.config import enable_compilation_cache
+
+from _sampler_common import FlagshipSetup
 
 TRACE_DIR = "/tmp/lfvdm_trace_scan"
 N_STEPS = 10  # short scan; per-step op mix identical to the 1000-step one
@@ -28,37 +25,10 @@ N_STEPS = 10  # short scan; per-step op mix identical to the 1000-step one
 
 def main():
     enable_compilation_cache()
-    cfg = flagship_config()
-    model, diffusion = create_model_and_diffusion(cfg)
-    B, K, C, H = 2, 20, cfg["in_channels"], cfg["image_size"]
-    rng = np.random.default_rng(0)
-    x0 = jnp.asarray(rng.standard_normal((B, K, C, H, H)), jnp.float32)
-    fi = jnp.asarray(np.tile(np.arange(K)[None], (B, 1)), jnp.int32)
-    obs = jnp.zeros((B, K, 1, 1, 1), jnp.float32).at[:, : K // 2].set(1.0)
-    lat = 1.0 - obs
-    model_kwargs = dict(x0=x0, frame_indices=fi, obs_mask=obs, latent_mask=lat)
-    params = jax.jit(model.init)(jax.random.PRNGKey(0), x0,
-                                 jnp.zeros((B,), jnp.int32), **model_kwargs)
-
-    def model_fn(x, ts, **kw):
-        return model.apply(params, x, ts, **kw)[0]
-
-    def sampler_chunk(noise, rng_key):
-        def step(carry, s):
-            img, key = carry
-            key, sub = jax.random.split(key)
-            t_b = jnp.full((B,), s, jnp.int32)
-            out = diffusion.p_sample(model_fn, img, t_b, sub,
-                                     model_kwargs=model_kwargs)
-            return (out["sample"], key), None
-
-        steps = jnp.arange(N_STEPS - 1, -1, -1)
-        (img, _), _ = jax.lax.scan(step, (noise, rng_key), steps)
-        return img
-
-    noise = jnp.asarray(rng.standard_normal((B, K, C, H, H)), jnp.float32)
+    setup = FlagshipSetup(B=2)
+    noise = setup.noise
     key = jax.random.PRNGKey(1)
-    compiled = jax.jit(sampler_chunk).lower(noise, key).compile()
+    compiled = jax.jit(setup.make_scan(N_STEPS)).lower(noise, key).compile()
     hlo = compiled.as_text()
     np.asarray(compiled(noise, key))  # fence (bench.py note re block_until_ready)
 

@@ -20,41 +20,13 @@ import _path  # noqa: F401
 
 def run_one(B, n_steps, cfg):
     import jax
-    import jax.numpy as jnp
 
-    from lfvdm_tpu.config import create_model_and_diffusion, flagship_config
+    from _sampler_common import FlagshipSetup
 
-    model, diffusion = create_model_and_diffusion(cfg)
-    K, C, H = 20, 3, cfg["image_size"]
-    rng = np.random.default_rng(0)
-    x0 = jnp.asarray(rng.standard_normal((B, K, C, H, H)), jnp.float32)
-    t = jnp.zeros((B,), jnp.int32)
-    fi = jnp.asarray(np.tile(np.arange(K)[None], (B, 1)), jnp.int32)
-    obs = jnp.zeros((B, K, 1, 1, 1), jnp.float32).at[:, : K // 2].set(1.0)
-    lat = 1.0 - obs
-
-    params = jax.jit(model.init)(jax.random.PRNGKey(0), x0, t, x0=x0,
-                                 frame_indices=fi, obs_mask=obs, latent_mask=lat)
-
-    def model_fn(x, ts, **kw):
-        return model.apply(params, x, ts, **kw)[0]
-
-    model_kwargs = dict(x0=x0, frame_indices=fi, obs_mask=obs, latent_mask=lat)
-
-    def sampler_chunk(noise, rng_key):
-        def step(carry, s):
-            img, key = carry
-            key, sub = jax.random.split(key)
-            t_b = jnp.full((B,), s, jnp.int32)
-            out = diffusion.p_sample(model_fn, img, t_b, sub, model_kwargs=model_kwargs)
-            return (out["sample"], key), None
-
-        steps = jnp.arange(n_steps - 1, -1, -1)
-        (img, _), _ = jax.lax.scan(step, (noise, rng_key), steps)
-        return img
-
-    run = jax.jit(sampler_chunk)
-    noise = jnp.asarray(rng.standard_normal((B, K, C, H, H)), jnp.float32)
+    setup = FlagshipSetup(B=B, cfg=cfg)
+    K = setup.K
+    run = jax.jit(setup.make_scan(n_steps))
+    noise = setup.noise
     key = jax.random.PRNGKey(1)
     np.asarray(run(noise, key))  # compile + warmup, fenced (np.asarray = real fetch)
 
@@ -78,6 +50,8 @@ def main():
     args = ap.parse_args()
 
     import jax
+
+    from lfvdm_tpu.config import flagship_config
 
     cfg = flagship_config()
     for B in [int(b) for b in args.batches.split(",")]:

@@ -29,45 +29,19 @@ def main():
     args = ap.parse_args()
 
     import jax
-    import jax.numpy as jnp
 
-    from lfvdm_tpu.config import (
-        create_model_and_diffusion,
-        enable_compilation_cache,
-        flagship_config,
-    )
+    from lfvdm_tpu.config import enable_compilation_cache
+
+    from _sampler_common import FlagshipSetup
 
     enable_compilation_cache()
-    cfg = flagship_config()
-    model, diffusion = create_model_and_diffusion(cfg)
-    B, K, C, H = 2, 20, cfg["in_channels"], cfg["image_size"]
-    rng = np.random.default_rng(0)
-    x0 = jnp.asarray(rng.standard_normal((B, K, C, H, H)), jnp.float32)
-    fi = jnp.asarray(np.tile(np.arange(K)[None], (B, 1)), jnp.int32)
-    obs = jnp.zeros((B, K, 1, 1, 1), jnp.float32).at[:, : K // 2].set(1.0)
-    model_kwargs = dict(x0=x0, frame_indices=fi, obs_mask=obs, latent_mask=1.0 - obs)
-    params = jax.jit(model.init)(jax.random.PRNGKey(0), x0,
-                                 jnp.zeros((B,), jnp.int32), **model_kwargs)
-
-    def model_fn(x, ts, **kw):
-        return model.apply(params, x, ts, **kw)[0]
-
+    setup = FlagshipSetup(B=2)
+    cfg, diffusion = setup.cfg, setup.diffusion
+    B, K, H = setup.B, setup.K, setup.H
     N_STEPS = min(args.steps, diffusion.num_timesteps)
+    sampler_chunk = setup.make_scan(N_STEPS)
 
-    def sampler_chunk(noise, rng_key):
-        def step(carry, s):
-            img, key = carry
-            key, sub = jax.random.split(key)
-            t_b = jnp.full((B,), s, jnp.int32)
-            out = diffusion.p_sample(model_fn, img, t_b, sub,
-                                     model_kwargs=model_kwargs)
-            return (out["sample"], key), None
-
-        steps = jnp.arange(N_STEPS - 1, -1, -1)
-        (img, _), _ = jax.lax.scan(step, (noise, rng_key), steps)
-        return img
-
-    noise = jnp.asarray(rng.standard_normal((B, K, C, H, H)), jnp.float32)
+    noise = setup.noise
     key = jax.random.PRNGKey(1)
     compiled = jax.jit(sampler_chunk).lower(noise, key).compile()
     np.asarray(compiled(noise, key))  # fenced warmup

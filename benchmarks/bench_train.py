@@ -16,7 +16,11 @@ import jax
 import jax.numpy as jnp
 import numpy as np
 
-from lfvdm_tpu.config import create_model_and_diffusion, flagship_config
+from lfvdm_tpu.config import (
+    create_model_and_diffusion,
+    enable_compilation_cache,
+    flagship_config,
+)
 from lfvdm_tpu.training.train_loop import init_train_state, make_optimizer, make_train_step
 
 # Same fairness method (and the same constant + correction helper) as
@@ -44,6 +48,7 @@ def main():
                          "16 GB v5e HBM)")
     args = ap.parse_args()
 
+    enable_compilation_cache()
     cfg = dict(flagship_config(), image_size=args.image_size,
                use_checkpoint=args.use_checkpoint)
     model, diffusion = create_model_and_diffusion(cfg)
@@ -75,16 +80,18 @@ def main():
 
     # Per-step FLOPs (fwd+bwd+AdamW+EMA, the whole compiled step) for the
     # baseline estimate; reference-op-mix correction via the upsample delta.
-    compiled = step_fn.lower(state, batch, t, w, jax.random.PRNGKey(1)).compile()
+    # The AOT executable is ALSO the one the timing loop runs (calling the
+    # wrapped step_fn again would recompile the whole step a second time).
+    step_fn = step_fn.lower(state, batch, t, w, jax.random.PRNGKey(1)).compile()
     try:
-        flops_per_step = float(compiled.cost_analysis()["flops"])
+        flops_per_step = float(step_fn.cost_analysis()["flops"])
     except Exception:
         flops_per_step = float("nan")
     delta_fwd, levels = upsample_flop_correction(B * K, H, cfg["num_channels"])
     ref_flops_per_step = flops_per_step + 3 * delta_fwd  # fwd + dgrad + wgrad
 
     key = jax.random.PRNGKey(1)
-    state, _ = step_fn(state, batch, t, w, key)  # compile + warmup
+    state, _ = step_fn(state, batch, t, w, key)  # warmup
     fence(state)
 
     if args.profile:

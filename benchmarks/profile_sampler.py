@@ -11,45 +11,18 @@ import _path  # noqa: F401  (repo root on sys.path)
 import time
 
 import jax
-import jax.numpy as jnp
 import numpy as np
 
-from lfvdm_tpu.config import create_model_and_diffusion, flagship_config
+from _sampler_common import FlagshipSetup
 
 TRACE_DIR = "/tmp/lfvdm_trace_sampler"
 N_STEPS = 10
 
 
 def main():
-    cfg = flagship_config()
-    model, diffusion = create_model_and_diffusion(cfg)
-    B, K, C, H = 2, 20, 3, 128
-    rng = np.random.default_rng(0)
-    x0 = jnp.asarray(rng.standard_normal((B, K, C, H, H)), jnp.float32)
-    fi = jnp.asarray(np.tile(np.arange(K)[None], (B, 1)), jnp.int32)
-    obs = jnp.zeros((B, K, 1, 1, 1), jnp.float32).at[:, : K // 2].set(1.0)
-    lat = 1.0 - obs
-    model_kwargs = dict(x0=x0, frame_indices=fi, obs_mask=obs, latent_mask=lat)
-    params = jax.jit(model.init)(jax.random.PRNGKey(0), x0,
-                                 jnp.zeros((B,), jnp.int32), **model_kwargs)
-
-    def model_fn(x, ts, **kw):
-        return model.apply(params, x, ts, **kw)[0]
-
-    def sampler_chunk(noise, rng_key):
-        def step(carry, s):
-            img, key = carry
-            key, sub = jax.random.split(key)
-            t_b = jnp.full((B,), s, jnp.int32)
-            out = diffusion.p_sample(model_fn, img, t_b, sub, model_kwargs=model_kwargs)
-            return (out["sample"], key), None
-
-        steps = jnp.arange(N_STEPS - 1, -1, -1)
-        (img, _), _ = jax.lax.scan(step, (noise, rng_key), steps)
-        return img
-
-    run = jax.jit(sampler_chunk)
-    noise = jnp.asarray(rng.standard_normal((B, K, C, H, H)), jnp.float32)
+    setup = FlagshipSetup(B=2)
+    run = jax.jit(setup.make_scan(N_STEPS))
+    noise = setup.noise
     key = jax.random.PRNGKey(1)
     run(noise, key).block_until_ready()
 

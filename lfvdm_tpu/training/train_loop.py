@@ -525,10 +525,13 @@ class TrainLoop:
                 jax.block_until_ready(self.state["params"])
                 jax.profiler.stop_trace()
                 self._profiling = False
-            if self.step % self.log_interval == 0:
+            # interval 0/None = disabled (matches video_train.py's
+            # `if args.sample_interval:` convention; the reference leaves
+            # interval=0 undefined — it would div-zero there too).
+            if self.log_interval and self.step % self.log_interval == 0:
                 self._flush_metrics()
                 logger.dumpkvs()
-            if self.step % self.save_interval == 0:
+            if self.save_interval and self.step % self.save_interval == 0:
                 self.save()
             if os.environ.get("DIFFUSION_TRAINING_TEST", "") and self.step > 0:
                 return
@@ -539,7 +542,7 @@ class TrainLoop:
                 # mismatched steps. Agree on the flag at a PROCESS-UNIFORM
                 # cadence (the log boundary — the metric flush already syncs
                 # there) so every process enters the allgather identically.
-                if self.step % self.log_interval == 0:
+                if self.log_interval and self.step % self.log_interval == 0:
                     from jax.experimental import multihost_utils
 
                     flags = multihost_utils.process_allgather(
@@ -566,7 +569,7 @@ class TrainLoop:
                 last_sample_time = time.time()
                 self._window_start = time.time()  # keep step_time unpolluted
             self.step += 1
-        if (self.step - 1) % self.save_interval != 0:
+        if self.save_interval and (self.step - 1) % self.save_interval != 0:
             self.save()
 
     def save(self):

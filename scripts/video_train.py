@@ -180,7 +180,7 @@ def main():
                       "learn_sigma", "use_scale_shift_norm", "use_rpe_net",
                       "predict_xstart", "use_kl", "noise_schedule",
                       "diffusion_steps", "sigma_small", "rescale_learned_sigmas",
-                      "rescale_timesteps")
+                      "rescale_timesteps", "wavelet_levels")
         adopted = {k: pt_config[k] for k in adopt_keys
                    if k in pt_config and pt_config[k] != getattr(args, k)}
         for k, v in adopted.items():
@@ -200,7 +200,12 @@ def main():
                 f"{args.diffusion_space!r} space — pick a matching dataset "
                 "or checkpoint"
             )
-        expected_in = 4 if args.diffusion_space == "latent" else 3
+        if args.diffusion_space == "latent":
+            expected_in = 4
+        elif args.diffusion_space == "wavelet":
+            expected_in = 3 * 4 ** int(args.wavelet_levels)
+        else:
+            expected_in = 3
         if args.in_channels != expected_in:
             raise ValueError(
                 f"--init_from_pt checkpoint has in_channels={args.in_channels} "
