@@ -52,6 +52,10 @@ def main():
     ap.add_argument("--batch_size", type=int, default=8)
     ap.add_argument("--skip_train", action="store_true",
                     help="reuse the checkpoint already in --workdir")
+    ap.add_argument("--sampling_scheme", default="hierarchy-2",
+                    help="any sampling_schemes registry key; the reference "
+                         "headlines hierarchy-2 (FVD 124) and autoregressive "
+                         "(FVD 246) (/root/reference/README.md:80-84)")
     args = ap.parse_args()
 
     ckpt_dir = os.path.join(args.workdir, "ckpt")
@@ -71,7 +75,7 @@ def main():
              "--checkpoint_dir", ckpt_dir, "--seed", "0"])
 
     run(["scripts/video_sample.py", ckpt_dir,
-         "--sampling_scheme", "hierarchy-2",
+         "--sampling_scheme", args.sampling_scheme,
          "--eval_dir", eval_dir, "--dataset", "synthetic",
          "--T", args.T, "--max_frames", args.max_frames,
          "--n_obs", args.n_obs, "--batch_size", "4",
@@ -80,8 +84,10 @@ def main():
     # video_sample.py nests its outputs in a scheme-named subdirectory of
     # --eval_dir (utils/paths.py layout); video_fvd.py takes that subdir.
     subdirs = [d for d in sorted(os.listdir(eval_dir))
-               if os.path.isdir(os.path.join(eval_dir, d))]
-    assert len(subdirs) == 1, f"expected one scheme dir in {eval_dir}: {subdirs}"
+               if os.path.isdir(os.path.join(eval_dir, d))
+               and args.sampling_scheme in d]
+    assert len(subdirs) == 1, \
+        f"expected one {args.sampling_scheme} dir in {eval_dir}: {subdirs}"
     scheme_dir = os.path.join(eval_dir, subdirs[0])
 
     out = run(["scripts/video_fvd.py", "--eval_dir", scheme_dir,
@@ -90,8 +96,9 @@ def main():
     # matches both "FVD: <x>" (fresh) and "... exists: FVD = <x>" (idempotent)
     m = re.search(r"FVD\s*[:=]\s*([0-9.eE+-]+)", out)
     fvd = float(m.group(1)) if m else float("nan")
+    scheme_slug = args.sampling_scheme.replace("-", "")
     print(json.dumps({
-        "metric": "synthetic_fvd_hierarchy2_randi3d",
+        "metric": f"synthetic_fvd_{scheme_slug}_randi3d",
         # 6 decimals: random-I3D features give tiny absolute FVDs (~4e-3);
         # 2-decimal rounding would erase the round-over-round signal.
         "value": round(fvd, 6),

@@ -62,3 +62,13 @@ def test_convert_svd_vae_main_executes_and_validates(tmp_path):
 def test_convert_resnet152_consumers_match_torch(tmp_path):
     out = _run("run_convert_resnet152.py", tmp_path)
     assert "coord parity OK" in out
+
+
+def test_encode_latent_main_executes_and_validates(tmp_path):
+    # datasets/carla/encode_latent.py main(): convert fixture VAE -> encode a
+    # tiny fake CARLA layout with --normalize -> pin the on-disk contract the
+    # training registry consumes (encoded_ prefix, stats keys, train-stats
+    # normalization of the test split). Closes SURVEY item 44's
+    # never-executed-main risk.
+    out = _run("run_encode_latent.py", tmp_path)
+    assert "encode_latent contract OK" in out

@@ -40,7 +40,8 @@ def _drive(genq, monkeypatch, tmp_path, fvd_stdout, argv_extra=()):
         script = str(cmd[0])
         if "video_sample" in script:
             eval_dir = str(cmd[cmd.index("--eval_dir") + 1])
-            os.makedirs(os.path.join(eval_dir, "hierarchy-2_10_5_48_10"),
+            scheme = str(cmd[cmd.index("--sampling_scheme") + 1])
+            os.makedirs(os.path.join(eval_dir, f"{scheme}_10_5_48_10"),
                         exist_ok=True)
         if "video_fvd" in script:
             return fvd_stdout
@@ -77,6 +78,21 @@ def test_parses_idempotent_fvd_format(genq, monkeypatch, tmp_path):
     _, out = _drive(genq, monkeypatch, tmp_path,
                     "fvd-8-0.txt exists: FVD = 0.123456\n")
     assert out["value"] == 0.123456
+
+
+def test_sampling_scheme_flag_threads_through(genq, monkeypatch, tmp_path):
+    # The FVD-246 counterpart row (reference README.md:80-84): the scheme
+    # flag must reach video_sample.py, steer the subdir resolution, and
+    # rename the metric.
+    calls, out = _drive(genq, monkeypatch, tmp_path, "FVD: 0.5\n",
+                        argv_extra=("--sampling_scheme", "autoregressive",
+                                    "--skip_train"))
+    sample_cmd = calls[0]
+    assert sample_cmd[sample_cmd.index("--sampling_scheme") + 1] == "autoregressive"
+    fvd_cmd = calls[1]
+    assert fvd_cmd[fvd_cmd.index("--eval_dir") + 1].endswith(
+        "autoregressive_10_5_48_10")
+    assert out["metric"] == "synthetic_fvd_autoregressive_randi3d"
 
 
 def test_skip_train_omits_train_cli(genq, monkeypatch, tmp_path):
