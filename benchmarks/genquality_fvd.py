@@ -54,9 +54,16 @@ def main():
                     help="reuse the checkpoint already in --workdir")
     ap.add_argument("--sampling_scheme", default="hierarchy-2",
                     help="any sampling_schemes registry key; the reference "
-                         "headlines hierarchy-2 (FVD 124) and autoregressive "
+                         "headlines hierarchy-2 (FVD 124) and autoreg "
                          "(FVD 246) (/root/reference/README.md:80-84)")
     args = ap.parse_args()
+
+    # Fail here, not 10 minutes in at the sample step: video_sample.py
+    # validates --sampling_scheme against the registry keys.
+    from lfvdm_tpu.sampling.schemes import sampling_schemes
+    if args.sampling_scheme not in sampling_schemes:
+        ap.error(f"--sampling_scheme {args.sampling_scheme!r} is not a "
+                 f"registry key: {sorted(sampling_schemes)}")
 
     ckpt_dir = os.path.join(args.workdir, "ckpt")
     eval_dir = os.path.join(args.workdir, "samples")
@@ -83,9 +90,12 @@ def main():
 
     # video_sample.py nests its outputs in a scheme-named subdirectory of
     # --eval_dir (utils/paths.py layout); video_fvd.py takes that subdir.
+    # Match the get_eval_run_identifier format exactly ("{scheme}_{K}_…"):
+    # substring matching would also hit a stale "adaptive-autoreg_*" dir
+    # when asked for "autoreg" in a reused --workdir.
     subdirs = [d for d in sorted(os.listdir(eval_dir))
                if os.path.isdir(os.path.join(eval_dir, d))
-               and args.sampling_scheme in d]
+               and d.startswith(args.sampling_scheme + "_")]
     assert len(subdirs) == 1, \
         f"expected one {args.sampling_scheme} dir in {eval_dir}: {subdirs}"
     scheme_dir = os.path.join(eval_dir, subdirs[0])

@@ -83,16 +83,39 @@ def test_parses_idempotent_fvd_format(genq, monkeypatch, tmp_path):
 def test_sampling_scheme_flag_threads_through(genq, monkeypatch, tmp_path):
     # The FVD-246 counterpart row (reference README.md:80-84): the scheme
     # flag must reach video_sample.py, steer the subdir resolution, and
-    # rename the metric.
+    # rename the metric. "autoreg" is the actual registry key
+    # (lfvdm_tpu/sampling/schemes.py + reference sampling_schemes.py:389-399).
     calls, out = _drive(genq, monkeypatch, tmp_path, "FVD: 0.5\n",
-                        argv_extra=("--sampling_scheme", "autoregressive",
+                        argv_extra=("--sampling_scheme", "autoreg",
                                     "--skip_train"))
     sample_cmd = calls[0]
-    assert sample_cmd[sample_cmd.index("--sampling_scheme") + 1] == "autoregressive"
+    assert sample_cmd[sample_cmd.index("--sampling_scheme") + 1] == "autoreg"
     fvd_cmd = calls[1]
     assert fvd_cmd[fvd_cmd.index("--eval_dir") + 1].endswith(
-        "autoregressive_10_5_48_10")
-    assert out["metric"] == "synthetic_fvd_autoregressive_randi3d"
+        "autoreg_10_5_48_10")
+    assert out["metric"] == "synthetic_fvd_autoreg_randi3d"
+
+
+def test_sampling_scheme_validated_against_registry(genq, monkeypatch, tmp_path):
+    # A non-registry key must fail at argparse time, not 10 minutes in at
+    # the video_sample.py step (ADVICE r3: 'autoregressive' is not a key).
+    with pytest.raises(SystemExit):
+        _drive(genq, monkeypatch, tmp_path, "FVD: 0.5\n",
+               argv_extra=("--sampling_scheme", "autoregressive",
+                           "--skip_train"))
+
+
+def test_subdir_match_is_prefix_exact(genq, monkeypatch, tmp_path):
+    # A stale adaptive-autoreg_* dir in a reused --workdir must not trip
+    # the len==1 assertion when scoring plain autoreg (ADVICE r3, low).
+    stale = tmp_path / "samples" / "adaptive-autoreg_10_5_48_10"
+    stale.mkdir(parents=True)
+    calls, out = _drive(genq, monkeypatch, tmp_path, "FVD: 0.5\n",
+                        argv_extra=("--sampling_scheme", "autoreg",
+                                    "--skip_train"))
+    fvd_cmd = calls[1]
+    assert fvd_cmd[fvd_cmd.index("--eval_dir") + 1].endswith(
+        "/autoreg_10_5_48_10")
 
 
 def test_skip_train_omits_train_cli(genq, monkeypatch, tmp_path):
