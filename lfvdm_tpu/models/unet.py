@@ -52,6 +52,29 @@ GN_STATS_REMAT_POLICY = jax.checkpoint_policies.save_only_these_names(
     "gn_stats")
 
 
+def remat_policy():
+    """Remat-policy ladder for ``use_remat`` (``LFVDM_REMAT_POLICY``, read at
+    trace time so benchmarks/ab_train_envflag.py can A/B the arms in one
+    process):
+
+      * ``gn_stats`` (default) — save only GroupNorm statistics (see above).
+      * ``nothing``  — pure remat, recompute everything in the backward pass.
+      * ``dots``     — additionally save every dot_general result (attention
+        qk/av and dense layers; TPU convs are conv_general_dilated and are
+        NOT covered — XLA decides those).
+      * ``everything`` — save all residuals: remat becomes a formal no-op,
+        giving the no-remat arm of the ladder without a config change.
+    """
+    name = os.environ.get("LFVDM_REMAT_POLICY", "gn_stats")
+    return {
+        "gn_stats": GN_STATS_REMAT_POLICY,
+        "nothing": jax.checkpoint_policies.nothing_saveable,
+        "dots": jax.checkpoint_policies.save_from_both_policies(
+            jax.checkpoint_policies.dots_saveable, GN_STATS_REMAT_POLICY),
+        "everything": jax.checkpoint_policies.everything_saveable,
+    }[name]
+
+
 class _FusedSkipConv(nn.Module):
     """Up-path 1x1 skip projection + residual add + next-block GN stats.
 
@@ -503,9 +526,9 @@ class UNetVideoModel(nn.Module):
         temb_bt = emb.reshape(B, T, ted)  # for RPENet
 
         if self.use_remat:
-            res_block_cls = nn.remat(ResBlock, policy=GN_STATS_REMAT_POLICY)
-            attn_block_cls = nn.remat(FactorizedAttentionBlock,
-                                      policy=GN_STATS_REMAT_POLICY)
+            policy = remat_policy()
+            res_block_cls = nn.remat(ResBlock, policy=policy)
+            attn_block_cls = nn.remat(FactorizedAttentionBlock, policy=policy)
         else:
             res_block_cls, attn_block_cls = ResBlock, FactorizedAttentionBlock
 

@@ -69,23 +69,101 @@ def local_numpy(v, accum: bool = False):
     return out
 
 
+# Hyperparameters per optimizer instance (GradientTransformation namedtuples
+# of functions are hashable), so make_train_step can rebuild the SAME update
+# math in its fused single-pass arm (LFVDM_FUSED_OPT) without a caller-side
+# signature change.
+_OPT_HYPERPARAMS: Dict[Any, tuple] = {}
+
+
 def make_optimizer(lr: float, weight_decay: float, lr_anneal_steps: int = 0):
     """AdamW with the reference's linear LR decay (train_util.py:359-365)."""
     if lr_anneal_steps:
         schedule = optax.linear_schedule(lr, 0.0, lr_anneal_steps)
     else:
         schedule = lr
-    return optax.adamw(schedule, b1=0.9, b2=0.999, eps=1e-8, weight_decay=weight_decay)
+    tx = optax.adamw(schedule, b1=0.9, b2=0.999, eps=1e-8, weight_decay=weight_decay)
+    _OPT_HYPERPARAMS[tx] = (lr, weight_decay, lr_anneal_steps)
+    return tx
 
 
 def init_train_state(params, tx, ema_rates) -> Dict[str, Any]:
-    """State pytree: params, optimizer state, one EMA copy per rate, step."""
+    """State pytree: params, optimizer state, one EMA copy per rate, step.
+
+    ``LFVDM_BF16_EMA=1`` (diagnostic, read at trace time) stores the EMA
+    copies in bfloat16 — halves the EMA read+write HBM traffic in the
+    optimizer tail so an A/B against f32 bounds what that traffic costs.
+    NOT for production: checkpoints written from such a state carry bf16
+    EMAs (≈3 decimal digits), and the reference's eval protocol scores EMA
+    weights.
+    """
+    ema_dtype = (jnp.bfloat16 if os.environ.get("LFVDM_BF16_EMA", "0") == "1"
+                 else None)
+
+    def ema_copy(p):
+        return jnp.asarray(p, ema_dtype) if ema_dtype is not None else jnp.copy(p)
+
     return {
         "params": params,
         "opt_state": tx.init(params),
-        "ema": {str(r): jax.tree.map(jnp.copy, params) for r in ema_rates},
+        "ema": {str(r): jax.tree.map(ema_copy, params) for r in ema_rates},
         "step": jnp.zeros((), jnp.int32),
     }
+
+
+def _fused_adamw_ema(params, safe_grads, opt_state, ema, ema_rates, hp):
+    """Single-traversal AdamW + multi-rate EMA (LFVDM_FUSED_OPT=1).
+
+    Bit-identical math to the optax chain it replaces —
+    ``scale_by_adam -> add_decayed_weights -> scale_by_learning_rate`` with
+    the exact optax bias-correction/count semantics — and the SAME opt_state
+    structure, so checkpoints are interchangeable between the two paths
+    (pinned by test_train_loop.py). One ``jax.tree.map`` computes new
+    params, Adam moments, and every EMA copy per leaf, instead of optax's
+    per-transform traversals with materialized intermediate update trees:
+    the A/B arm for the optimizer/EMA HBM-tail question (BASELINE.md).
+    """
+    lr, wd, anneal_steps = hp
+    adam_state, wd_state, sched_state = opt_state
+    b1, b2, eps = 0.9, 0.999, 1e-8
+    count_inc = optax.safe_int32_increment(adam_state.count)
+    c1 = 1.0 - b1 ** count_inc.astype(jnp.float32)
+    c2 = 1.0 - b2 ** count_inc.astype(jnp.float32)
+    if anneal_steps:
+        # Same schedule object/semantics as make_optimizer: evaluated at the
+        # PRE-increment schedule count (optax.scale_by_schedule).
+        step_size = -optax.linear_schedule(lr, 0.0, anneal_steps)(sched_state.count)
+        new_sched_state = type(sched_state)(
+            count=optax.safe_int32_increment(sched_state.count))
+    else:
+        step_size = -lr
+        new_sched_state = sched_state
+
+    rates = [float(r) for r in ema_rates]
+    ema_trees = [ema[str(r)] for r in ema_rates]
+
+    def leaf(p, g, m, v, *es):
+        m2 = b1 * m + (1.0 - b1) * g
+        v2 = b2 * v + (1.0 - b2) * (g * g)
+        u = (m2 / c1) / (jnp.sqrt(v2 / c2) + eps) + wd * p
+        p2 = p + step_size * u
+        new_es = tuple(
+            jnp.asarray(e.astype(p2.dtype) * r + p2 * (1.0 - r), e.dtype)
+            for e, r in zip(es, rates))
+        return (p2, m2, v2) + new_es
+
+    mapped = jax.tree.map(leaf, params, safe_grads, adam_state.mu,
+                          adam_state.nu, *ema_trees)
+    outer = jax.tree.structure(params)
+    inner = jax.tree.structure((0,) * (3 + len(rates)))
+    new_params, new_mu, new_nu, *new_emas = jax.tree.transpose(outer, inner, mapped)
+    new_opt_state = (
+        type(adam_state)(count=count_inc, mu=new_mu, nu=new_nu),
+        wd_state,
+        new_sched_state,
+    )
+    new_ema = {str(r): t for r, t in zip(ema_rates, new_emas)}
+    return new_params, new_opt_state, new_ema
 
 
 def make_micro_loss(
@@ -181,8 +259,24 @@ def make_train_step(
         # Zero non-finite grads so Adam moments stay clean on skipped steps
         # (parity with the reference's skip-step, train_util.py:331-334).
         safe_grads = jax.tree.map(lambda g: jnp.where(finite, g, jnp.zeros_like(g)), grads)
-        updates, new_opt_state = tx.update(safe_grads, state["opt_state"], state["params"])
-        new_params = optax.apply_updates(state["params"], updates)
+        fused_hp = (_OPT_HYPERPARAMS.get(tx)
+                    if os.environ.get("LFVDM_FUSED_OPT", "0") == "1" else None)
+        if fused_hp is not None:
+            new_params, new_opt_state, new_ema_raw = _fused_adamw_ema(
+                state["params"], safe_grads, state["opt_state"], state["ema"],
+                ema_rates, fused_hp)
+        else:
+            updates, new_opt_state = tx.update(safe_grads, state["opt_state"], state["params"])
+            new_params = optax.apply_updates(state["params"], updates)
+            new_ema_raw = {
+                rate: jax.tree.map(
+                    # f32 math, stored at the EMA copy's dtype (bf16 under the
+                    # LFVDM_BF16_EMA diagnostic, f32 otherwise).
+                    lambda e, p, r=float(rate): jnp.asarray(
+                        e.astype(p.dtype) * r + p * (1 - r), e.dtype),
+                    state["ema"][rate], new_params)
+                for rate in (str(r) for r in ema_rates)
+            }
 
         def select(new, old):
             return jax.tree.map(lambda n, o: jnp.where(finite, n, o), new, old)
@@ -192,11 +286,7 @@ def make_train_step(
         # Keyed by ema_rates (the same str() keys init_train_state built) so
         # a state/config mismatch fails loudly here instead of being ignored.
         new_ema = {
-            rate: select(
-                jax.tree.map(lambda e, p, r=float(rate): e * r + p * (1 - r),
-                             state["ema"][rate], new_params),
-                state["ema"][rate],
-            )
+            rate: select(new_ema_raw[rate], state["ema"][rate])
             for rate in (str(r) for r in ema_rates)
         }
         new_state = {

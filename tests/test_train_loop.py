@@ -309,3 +309,58 @@ def test_init_from_reference_pt_checkpoint(tmp_path, reference):
     np.testing.assert_allclose(got[0], np.asarray(want[0], got[0].dtype), atol=1e-6)
     loop.run_step()
     assert int(loop.state["step"]) == 1
+
+
+def test_fused_opt_step_matches_default(tmp_path, monkeypatch):
+    """LFVDM_FUSED_OPT=1 (single-pass AdamW+EMA) is numerically the optax
+    path on the full jitted train step — the precondition for the A/B arm
+    in the train-step perf chapter (BASELINE.md)."""
+    import jax.numpy as jnp
+
+    from lfvdm_tpu.config import create_model_and_diffusion
+    from lfvdm_tpu.training.train_loop import (
+        init_train_state, make_optimizer, make_train_step,
+    )
+
+    model, diffusion = create_model_and_diffusion(CFG)
+    rng = np.random.default_rng(3)
+    batch = {
+        "x0": rng.standard_normal((4, K, 2, 32, 32)).astype(np.float32),
+        "frame_indices": np.tile(np.arange(K, dtype=np.int32), (4, 1)),
+        "obs_mask": np.zeros((4, K, 1, 1, 1), np.float32),
+        "latent_mask": np.ones((4, K, 1, 1, 1), np.float32),
+    }
+    t = rng.integers(0, diffusion.num_timesteps, (4,)).astype(np.int32)
+    w = np.ones((4,), np.float32)
+    params = model.init(
+        jax.random.PRNGKey(0), jnp.asarray(batch["x0"]),
+        jnp.zeros((4,), jnp.int32), x0=jnp.asarray(batch["x0"]),
+        frame_indices=jnp.asarray(batch["frame_indices"]),
+        obs_mask=jnp.asarray(batch["obs_mask"]),
+        latent_mask=jnp.asarray(batch["latent_mask"]),
+    )
+    params = jax.tree.map(
+        lambda p: p + 0.01 * np.asarray(rng.standard_normal(p.shape), p.dtype),
+        params)
+    tx = make_optimizer(1e-3, 0.01, 100)
+    key = jax.random.PRNGKey(9)
+
+    def run(fused):
+        monkeypatch.setenv("LFVDM_FUSED_OPT", "1" if fused else "0")
+        state = init_train_state(params, tx, ["0.9999", "0.99"])
+        # make_train_step reads the flag when building the step
+        step = jax.jit(make_train_step(model, diffusion, tx,
+                                       ["0.9999", "0.99"]))
+        for i in range(2):
+            state, metrics = step(state, batch, jnp.asarray(t),
+                                  jnp.asarray(w), jax.random.fold_in(key, i))
+        return state, metrics
+
+    s0, m0 = run(False)
+    s1, m1 = run(True)
+    assert jax.tree.structure(s0) == jax.tree.structure(s1)
+    for a, b in zip(jax.tree.leaves(s0), jax.tree.leaves(s1)):
+        np.testing.assert_allclose(np.asarray(a), np.asarray(b),
+                                   rtol=2e-5, atol=2e-6)
+    np.testing.assert_allclose(np.asarray(m0["loss"]), np.asarray(m1["loss"]),
+                               rtol=1e-6)

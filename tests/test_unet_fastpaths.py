@@ -245,3 +245,48 @@ def test_remat_gn_stats_policy_grad_parity():
     for a, b in zip(flat0, flat1):
         np.testing.assert_allclose(np.asarray(a), np.asarray(b),
                                    rtol=2e-4, atol=2e-4)
+
+
+@pytest.mark.slow
+@pytest.mark.parametrize("policy", ["nothing", "dots", "everything"])
+def test_remat_policy_ladder_grad_parity(policy, monkeypatch):
+    """Every LFVDM_REMAT_POLICY ladder arm computes the same gradients.
+
+    The ladder (unet.remat_policy) exists so benchmarks/ab_train_envflag.py
+    can A/B schedule variants; each arm is the same function with a
+    different rematerialization schedule, so gradients must agree with the
+    default gn_stats arm to rounding noise.
+    """
+    from lfvdm_tpu.config import create_model_and_diffusion
+
+    cfg = dict(image_size=32, in_channels=3, num_channels=32,
+               num_res_blocks=1, attention_resolutions="16,8",
+               diffusion_steps=32, use_checkpoint=True)
+    rng = np.random.default_rng(0)
+    B, K, H = 2, 5, 32
+    x = jnp.asarray(rng.standard_normal((B, K, 3, H, H)), jnp.float32)
+    t = jnp.asarray([3, 17], jnp.int32)
+    fi = jnp.asarray(np.tile(np.arange(K)[None], (B, 1)), jnp.int32)
+    obs = jnp.zeros((B, K, 1, 1, 1), jnp.float32).at[:, :2].set(1.0)
+    kw = dict(x0=x, frame_indices=fi, obs_mask=obs, latent_mask=1.0 - obs)
+    model, _ = create_model_and_diffusion(cfg)
+    params = model.init(jax.random.PRNGKey(0), x, t, **kw)
+    leaves, treedef = jax.tree_util.tree_flatten(params)
+    keys = jax.random.split(jax.random.PRNGKey(7), len(leaves))
+    params = jax.tree_util.tree_unflatten(
+        treedef, [l + 0.02 * jax.random.normal(k, l.shape, l.dtype)
+                  for l, k in zip(leaves, keys)])
+
+    def loss(p):
+        return jnp.mean(jnp.square(model.apply(p, x, t, **kw)[0] - 0.3))
+
+    def grads(arm):
+        monkeypatch.setenv("LFVDM_REMAT_POLICY", arm)
+        return jax.jit(jax.grad(loss))(params)  # env read at trace time
+
+    base = jax.tree_util.tree_leaves(grads("gn_stats"))
+    arm = jax.tree_util.tree_leaves(grads(policy))
+    assert sum(float(np.abs(a).sum()) for a in base) > 1.0  # non-vacuous
+    for a, b in zip(base, arm):
+        np.testing.assert_allclose(np.asarray(a), np.asarray(b),
+                                   rtol=2e-4, atol=2e-4)
