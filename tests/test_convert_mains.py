@@ -72,3 +72,20 @@ def test_encode_latent_main_executes_and_validates(tmp_path):
     # never-executed-main risk.
     out = _run("run_encode_latent.py", tmp_path)
     assert "encode_latent contract OK" in out
+
+
+def test_minerl_prep_main_executes_and_validates(tmp_path):
+    # datasets/minerl.py main() over the fake-tfds fixture (VERDICT r3
+    # missing item 3): real export loop + on-disk layout, consumed back
+    # through NpyPerVideoDataset. Closes SURVEY item 45's never-executed
+    # risk the same way encode_latent closed item 44's.
+    out = _run("run_prep_minerl.py", tmp_path)
+    assert "minerl prep contract OK" in out
+
+
+def test_mazes_prep_main_executes_and_validates(tmp_path):
+    # datasets/mazes.py main(): the script's REAL GeneratorBasedBuilder
+    # (split generators, *.mp4 glob, export loop) driven by fake_tfds
+    # against a miniature extracted-archive layout.
+    out = _run("run_prep_mazes.py", tmp_path)
+    assert "mazes prep contract OK" in out
