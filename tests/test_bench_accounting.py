@@ -11,6 +11,7 @@ import sys
 from pathlib import Path
 
 import numpy as np
+import pytest
 import jax.numpy as jnp
 import jax
 
@@ -34,3 +35,22 @@ def test_correction_subgraphs_compute_the_same_function():
     a = np.asarray(jax.jit(naive_upsample_conv)(x, w))
     b = np.asarray(jax.jit(dilated_upsample_conv)(x, w))
     np.testing.assert_allclose(a, b, rtol=1e-5, atol=1e-5)
+
+
+def test_canary_normalization_cancels_multiplicative_drift():
+    """A launch hour that is uniformly k× slower (tunnel/host contention)
+    must normalize back to the quiet-hour value (BASELINE.md round-4
+    drift-robust headline protocol)."""
+    from bench import normalize_launches
+
+    nominal = 0.5
+    quiet = [24.0, 24.1, 23.9]
+    # a 1.3x-slower hour scales flagship launches AND canaries together
+    k = 1.3
+    slow_launches = [t * k for t in quiet]
+    slow_canaries = [nominal * k] * 4
+    normed = normalize_launches(slow_launches, slow_canaries, nominal)
+    np.testing.assert_allclose(normed, quiet, rtol=1e-12)
+    # canary count contract: C,F,C,...,C
+    with pytest.raises(AssertionError):
+        normalize_launches(quiet, [nominal] * 3, nominal)
