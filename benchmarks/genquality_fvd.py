@@ -1,15 +1,20 @@
 """Tracked generative-quality number through the EXACT production pipeline.
 
-One command: overfit-train a small model on the synthetic dataset with
-scripts/video_train.py, sample N test videos with hierarchy-2 via
+One command: train a small model on the synthetic TRAIN split with
+scripts/video_train.py, sample N HELD-OUT test videos via
 scripts/video_sample.py, score them with scripts/video_fvd.py using the
 pinned-seed random-I3D backbone (I3DFeatureExtractor PRNGKey(0) when no
-converted weights exist in-env). The absolute value is NOT comparable to the
-reference's FVD-124 (that needs the released checkpoint + pretrained I3D,
-both egress-blocked here — BASELINE.md), but it is deterministic for a fixed
-config, runs the same three CLIs a user runs
+converted weights exist in-env). Since round 4 the synthetic test split is
+seed-disjoint from train (SyntheticVideoDataset.set_test), so this measures
+generalization: the round-3 protocol scored samples against the training
+videos themselves and saturated at FVD~0.004 on an overfit model, where only
+catastrophic breakage could move it (VERDICT r3 weak item 2). The absolute
+value is NOT comparable to the reference's FVD-124 (that needs the released
+checkpoint + pretrained I3D, both egress-blocked here — BASELINE.md), but it
+is deterministic for a fixed config, runs the same three CLIs a user runs
 (/root/reference/scripts/video_fvd.py:64-85 protocol), and makes generative
-regressions visible round-over-round; BASELINE.md records one row per round.
+regressions visible round-over-round; BASELINE.md records rows per round
+(hierarchy-2 + autoreg, plus a halved-steps sensitivity calibration).
 
 Usage (TPU, ~10-20 min):  python benchmarks/genquality_fvd.py
 Quick smoke (CPU):        LFVDM_PLATFORM=cpu python benchmarks/genquality_fvd.py \
@@ -56,6 +61,12 @@ def main():
                     help="any sampling_schemes registry key; the reference "
                          "headlines hierarchy-2 (FVD 124) and autoreg "
                          "(FVD 246) (/root/reference/README.md:80-84)")
+    ap.add_argument("--diffusion_space", default="pixel",
+                    choices=["pixel", "wavelet"],
+                    help="wavelet = the live Haar wavelet-packet space "
+                         "(beyond-reference); latent needs converted VAE "
+                         "weights, egress-blocked here")
+    ap.add_argument("--wavelet_levels", type=int, default=1)
     args = ap.parse_args()
 
     # Fail here, not 10 minutes in at the sample step: video_sample.py
@@ -75,6 +86,8 @@ def main():
              "--max_frames", args.max_frames,
              "--num_channels", args.num_channels, "--num_res_blocks", "1",
              "--diffusion_steps", args.diffusion_steps,
+             "--diffusion_space", args.diffusion_space,
+             "--wavelet_levels", args.wavelet_levels,
              "--noise_schedule", "cosine",
              "--lr", "2e-4", "--max_steps", args.train_steps,
              "--save_interval", max(args.train_steps - 1, 1),
@@ -107,8 +120,9 @@ def main():
     m = re.search(r"FVD\s*[:=]\s*([0-9.eE+-]+)", out)
     fvd = float(m.group(1)) if m else float("nan")
     scheme_slug = args.sampling_scheme.replace("-", "")
+    space_slug = "" if args.diffusion_space == "pixel" else f"_{args.diffusion_space}"
     print(json.dumps({
-        "metric": f"synthetic_fvd_{scheme_slug}_randi3d",
+        "metric": f"synthetic_heldout_fvd_{scheme_slug}{space_slug}_randi3d",
         # 6 decimals: random-I3D features give tiny absolute FVDs (~4e-3);
         # 2-decimal rounding would erase the round-over-round signal.
         "value": round(fvd, 6),
@@ -116,7 +130,8 @@ def main():
         "num_videos": args.num_videos,
         "train_steps": args.train_steps,
         "config": f"synthetic 64px ch{args.num_channels} res1 "
-                  f"K{args.max_frames} steps{args.diffusion_steps} cosine",
+                  f"K{args.max_frames} steps{args.diffusion_steps} cosine "
+                  f"space={args.diffusion_space} heldout",
     }))
 
 

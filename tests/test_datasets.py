@@ -192,3 +192,23 @@ def test_native_paths_cold_data_root(tmp_path, monkeypatch):
     cached.parent.mkdir(parents=True, exist_ok=True)
     np.save(cached, np.load(paths[0]))
     assert ds.native_paths()[0] == str(cached)
+
+
+def test_synthetic_test_split_is_disjoint_from_train():
+    """set_test() must draw from a disjoint seed range: the tracked
+    generative-quality gate (benchmarks/genquality_fvd.py) scores samples
+    against the test split, and with train==test the number saturates at ~0
+    on an overfit model (VERDICT r3 weak item 2)."""
+    train = D.SyntheticVideoDataset(num_videos=4, T=5, H=8, W=8)
+    test = D.SyntheticVideoDataset(num_videos=4, T=5, H=8, W=8)
+    test.set_test()
+    for i in range(4):
+        assert not np.allclose(train[i], test[i])
+    # deterministic: a second test-split instance reproduces the same videos
+    test2 = D.SyntheticVideoDataset(num_videos=4, T=5, H=8, W=8)
+    test2.set_test()
+    np.testing.assert_array_equal(test[0], test2[0])
+    # get_dataset wiring: train=False engages the offset
+    via_registry = D._build_dataset("synthetic", "", 5, train=False,
+                                    shard=0, num_shards=1)
+    assert via_registry.seed == D.SyntheticVideoDataset.TEST_SEED_OFFSET

@@ -70,7 +70,7 @@ def test_pipeline_glue_and_json_line(genq, monkeypatch, tmp_path):
     # value keeps 6 decimals (random-I3D FVDs are ~4e-3; 2-decimal rounding
     # would erase the round-over-round signal)
     assert out["value"] == 0.004134
-    assert out["metric"] == "synthetic_fvd_hierarchy2_randi3d"
+    assert out["metric"] == "synthetic_heldout_fvd_hierarchy2_randi3d"
     assert out["num_videos"] == 8 and out["train_steps"] == 5
 
 
@@ -93,7 +93,7 @@ def test_sampling_scheme_flag_threads_through(genq, monkeypatch, tmp_path):
     fvd_cmd = calls[1]
     assert fvd_cmd[fvd_cmd.index("--eval_dir") + 1].endswith(
         "autoreg_10_5_48_10")
-    assert out["metric"] == "synthetic_fvd_autoreg_randi3d"
+    assert out["metric"] == "synthetic_heldout_fvd_autoreg_randi3d"
 
 
 def test_sampling_scheme_validated_against_registry(genq, monkeypatch, tmp_path):
@@ -123,3 +123,16 @@ def test_skip_train_omits_train_cli(genq, monkeypatch, tmp_path):
                       argv_extra=("--skip_train",))
     assert [c[0].split("/")[-1] for c in calls] == [
         "video_sample.py", "video_fvd.py"]
+
+
+def test_diffusion_space_threads_to_train_and_metric(genq, monkeypatch, tmp_path):
+    # The wavelet quality row (BASELINE.md): --diffusion_space must reach
+    # video_train.py (the ckpt embeds it; sample/fvd read it from there)
+    # and tag the metric so rows stay distinguishable.
+    calls, out = _drive(genq, monkeypatch, tmp_path, "FVD: 0.5\n",
+                        argv_extra=("--diffusion_space", "wavelet"))
+    train_cmd = calls[0]
+    assert train_cmd[train_cmd.index("--diffusion_space") + 1] == "wavelet"
+    assert train_cmd[train_cmd.index("--wavelet_levels") + 1] == "1"
+    assert out["metric"] == "synthetic_heldout_fvd_hierarchy2_wavelet_randi3d"
+    assert "space=wavelet" in out["config"]

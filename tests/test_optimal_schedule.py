@@ -1,0 +1,86 @@
+"""scripts/video_optimal_schedule.py — generator for the --optimality file.
+
+The reference only CONSUMES optimal_schedule.pt (sampling_schemes.py:51-62,
+83-85) and never ships the generator its --optimality help references
+(/root/reference/scripts/video_sample.py:185-187). Pin that our generator's
+output (a) round-trips through torch and drives the REAL consumer through a
+full video without tripping the condition-before-generated assertion, (b)
+the index optimality actually picks the temporally closest done frames, and
+(c) the lpips path runs in-env on the stub-backbone embedder.
+"""
+
+import subprocess
+import sys
+from pathlib import Path
+
+import numpy as np
+import torch
+
+REPO = Path(__file__).resolve().parents[1]
+SCRIPT = REPO / "scripts" / "video_optimal_schedule.py"
+
+sys.path.insert(0, str(REPO))
+sys.path.insert(0, str(REPO / "scripts"))
+
+from lfvdm_tpu.sampling.schemes import sampling_schemes  # noqa: E402
+
+
+def _gen(tmp_path, scheme="autoreg", optimality="index", T=24, n_obs=4,
+         max_frames=6, step_size=2, extra=()):
+    out = subprocess.run(
+        [sys.executable, str(SCRIPT), "--eval_dir", str(tmp_path),
+         "--sampling_scheme", scheme, "--optimality", optimality,
+         "--T", str(T), "--n_obs", str(n_obs),
+         "--max_frames", str(max_frames), "--step_size", str(step_size),
+         *extra],
+        cwd=REPO, text=True, capture_output=True)
+    assert out.returncode == 0, out.stderr[-2000:]
+    return torch.load(tmp_path / "optimal_schedule.pt", weights_only=False)
+
+
+def _drive_consumer(schedule, scheme_name, T, n_obs, max_frames, step_size):
+    """Iterate the real scheme with the generated override to completion."""
+    scheme = sampling_schemes[scheme_name](
+        video_length=T, num_obs=n_obs, max_frames=max_frames,
+        step_size=step_size, optimal_schedule=schedule)
+    seen = []
+    for step, (obs, latent) in enumerate(scheme):
+        seen.append((step, list(obs), list(latent)))
+    return seen
+
+
+def test_generated_schedule_drives_real_consumer(tmp_path):
+    T, n_obs, K, S = 24, 4, 6, 2
+    sched = _gen(tmp_path, "autoreg", "index", T, n_obs, K, S)
+    assert sched and all(isinstance(v, list) for v in sched.values())
+    steps = _drive_consumer(sched, "autoreg", T, n_obs, K, S)
+    # full video generated, and each overridden step used exactly the file's
+    # indices (the consumer asserts every one was generated first)
+    assert set().union(*(set(l) for _, _, l in steps)) | set(range(n_obs)) \
+        == set(range(T))
+    for step, obs, _ in steps:
+        if step in sched:
+            assert obs == sched[step]
+
+
+def test_generated_schedule_drives_hierarchy(tmp_path):
+    T, n_obs, K, S = 20, 2, 5, 2  # hierarchy needs step_size > 1 (level math)
+    sched = _gen(tmp_path, "hierarchy-2", "index", T, n_obs, K, S)
+    _drive_consumer(sched, "hierarchy-2", T, n_obs, K, S)  # asserts inside
+
+
+def test_index_optimality_picks_temporally_closest(tmp_path):
+    T, n_obs, K, S = 24, 4, 6, 2
+    sched = _gen(tmp_path, "autoreg", "index", T, n_obs, K, S)
+    # autoreg generates forward; the closest done frames to the latent
+    # window are always the most recent ones
+    for step, obs in sched.items():
+        latent_lo = min(o for o in range(T) if o > max(obs))  # next frames
+        assert obs == sorted(obs)
+        assert max(obs) == latent_lo - 1  # immediately adjacent frame chosen
+
+
+def test_lpips_optimality_runs_in_env(tmp_path):
+    sched = _gen(tmp_path, "autoreg", "lpips", T=12, n_obs=2, max_frames=4,
+                 step_size=2, extra=("--num_videos", "2", "--image_size", "32"))
+    _drive_consumer(sched, "autoreg", 12, 2, 4, 2)
