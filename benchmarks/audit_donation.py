@@ -78,10 +78,12 @@ def main():
     alias_bytes = getattr(mem, "alias_size_in_bytes", None)
 
     # HLO header: input_output_alias={ {out_idx}: (param, {idx}, KIND), ... }
+    # Entries nest braces ({out_idx} / {param_idx}), so don't try to bracket
+    # the block with a lazy regex (it stops at the first inner '}' and
+    # under-counts to 1) — count the per-entry alias-kind markers instead.
     hlo = compiled.as_text()
     header = hlo.split("\n\n", 1)[0]
-    m = re.search(r"input_output_alias=\{(.*?)\}\s*(?:,|$)", header, re.S)
-    n_aliases = len(re.findall(r"\(\s*\d+\s*,", m.group(1))) if m else 0
+    n_aliases = len(re.findall(r"(?:may|must)-alias", header))
 
     # Which donated state leaves did NOT alias? Compare counts; if the
     # executable exposes per-parameter info, name the big ones.
