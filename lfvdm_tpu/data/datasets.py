@@ -247,14 +247,31 @@ class SyntheticVideoDataset:
         self.is_test = True
 
     def __getitem__(self, idx) -> np.ndarray:
-        rng = np.random.default_rng(self.seed + idx)
+        # Cached: the training loop revisits the same 16 videos every epoch
+        # and regenerating (T,C,H,W) sinusoids on the host was measured to
+        # dominate TPU train-step time (0.36-0.6 s/step on the quality-gate
+        # config). Read-only view so a cached array can't be mutated.
+        key = (self.seed + idx, self.T, self.C, self.H, self.W)
+        vid = self._video_cache.get(key)
+        if vid is None:
+            vid = self._generate(self.seed + idx)
+            if len(self._video_cache) < 64:
+                self._video_cache[key] = vid
+        return vid
+
+    _video_cache: dict = {}
+
+    def _generate(self, seed) -> np.ndarray:
+        rng = np.random.default_rng(seed)
         phase = rng.random((self.C, 1, 1, 1)) * 2 * np.pi
         speed = 0.5 + rng.random((self.C, 1, 1, 1))
         t = np.arange(self.T).reshape(1, -1, 1, 1)
         y = np.linspace(0, 2 * np.pi, self.H).reshape(1, 1, -1, 1)
         x = np.linspace(0, 2 * np.pi, self.W).reshape(1, 1, 1, -1)
         vid = np.sin(x + y + speed * t * 0.2 + phase).astype(np.float32)
-        return vid.transpose(1, 0, 2, 3)  # (T, C, H, W) in [-1, 1]
+        vid = vid.transpose(1, 0, 2, 3)  # (T, C, H, W) in [-1, 1]
+        vid.setflags(write=False)
+        return vid
 
 
 def _build_dataset(dataset_name, data_path, T, train, shard, num_shards):
