@@ -72,12 +72,17 @@ def test_generated_schedule_drives_hierarchy(tmp_path):
 def test_index_optimality_picks_temporally_closest(tmp_path):
     T, n_obs, K, S = 24, 4, 6, 2
     sched = _gen(tmp_path, "autoreg", "index", T, n_obs, K, S)
-    # autoreg generates forward; the closest done frames to the latent
-    # window are always the most recent ones
-    for step, obs in sched.items():
-        latent_lo = min(o for o in range(T) if o > max(obs))  # next frames
-        assert obs == sorted(obs)
-        assert max(obs) == latent_lo - 1  # immediately adjacent frame chosen
+    # autoreg generates forward, so the done frames closest to each step's
+    # latent window are exactly the MOST RECENT ones: re-derive each step's
+    # done-pool by driving the scheme and check the generator picked the
+    # top-|obs| of it by recency.
+    scheme = sampling_schemes["autoreg"](
+        video_length=T, num_obs=n_obs, max_frames=K, step_size=S,
+        optimal_schedule=sched)
+    for step, (obs, latent) in enumerate(scheme):
+        pool = sorted(set(range(T)) & scheme._done_frames - set(latent))
+        if step in sched:
+            assert obs == pool[-len(obs):], (step, obs, pool)
 
 
 def test_lpips_optimality_runs_in_env(tmp_path):
