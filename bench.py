@@ -24,7 +24,7 @@ import numpy as np
 A100_EFFECTIVE_FLOPS = 35e12  # assumed eager-torch effective throughput
 
 # Drift-robust headline protocol (BASELINE.md "Round 4"): every flagship
-# launch is bracketed by a fixed CANARY executable (200 scanned 4096^2 bf16
+# launch is bracketed by a fixed CANARY executable (600 scanned 4096^2 bf16
 # matmuls, compiled once) in the pattern C,F,C,F,...,C. The canary times
 # measure the launch-hour environment itself (tunnel + host contention);
 # rescaling each flagship launch by canary_nominal_s / mean(bracketing
@@ -33,7 +33,8 @@ A100_EFFECTIVE_FLOPS = 35e12  # assumed eager-torch effective throughput
 # harness makes arms comparable within a run. CANARY_NOMINAL_S is pinned
 # from the round-4 quiet-host calibration on the real v5e chip and must NOT
 # be re-derived per run (that would define the drift away).
-CANARY_STEPS = 600  # ~2.8 s: long enough that ~100 ms launch jitter is <4%
+CANARY_STEPS = 600  # ~0.456 s nominal; robustness rests on the MEASURED 2.0%
+                    # canary spread (8-rep calibration), not on duration
 CANARY_DIM = 4096
 # Pinned 2026-08-20 quiet-host calibration on the real v5e chip: 8 reps,
 # mean 0.456 s, spread 2.0% (scalar-fetch form; the earlier full-matrix
@@ -242,8 +243,22 @@ def main():
     # always populated and self-consistent.
     nominal = CANARY_NOMINAL_S or float(np.mean(canary_times))
     norm_launches = normalize_launches(launch_times, canary_times, nominal)
-    elapsed_norm = min(norm_launches)
+    # Guard (ADVICE r4): min() after rescaling can be inflated by one
+    # anomalously slow canary (an ADDITIVE hiccup — e.g. a one-off tunnel
+    # stall during a canary but not the adjacent flagship launch) scaling a
+    # normal launch below its true quiet-hour time; the cancellation is only
+    # exact for multiplicative drift that hits canary and flagship alike. So
+    # a launch only qualifies for the min when its two bracketing canaries
+    # AGREE (within 2x the 2.0% calibrated spread); the median of all
+    # normalized launches is reported alongside as the hiccup-robust summary.
+    agreeing = [
+        nl for i, nl in enumerate(norm_launches)
+        if abs(canary_times[i] - canary_times[i + 1])
+        / min(canary_times[i], canary_times[i + 1]) <= 0.04
+    ]
+    elapsed_norm = min(agreeing) if agreeing else float(np.median(norm_launches))
     sec_per_call_norm = elapsed_norm / N_STEPS
+    sec_per_call_norm_median = float(np.median(norm_launches)) / N_STEPS
 
     sec_per_call = elapsed / N_STEPS
     frames_per_sec = B * K / sec_per_call
@@ -299,6 +314,10 @@ def main():
         # canaries (cancels multiplicative tunnel/host drift)
         "value_normalized": round(B * K / sec_per_call_norm, 2),
         "sec_per_model_call_normalized": round(sec_per_call_norm, 5),
+        # hiccup-robust companion: median over all normalized launches (the
+        # min above already excludes launches whose bracketing canaries
+        # disagree by >4%, i.e. additive one-off stalls)
+        "value_normalized_median": round(B * K / sec_per_call_norm_median, 2),
         "flops_per_call": flops_per_call,
         "ref_flops_per_call": ref_flops_per_call,
         # 4 expected; fewer means some level's FLOP delta silently failed

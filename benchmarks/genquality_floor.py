@@ -21,6 +21,8 @@ import numpy as np
 
 def main():
     ap = argparse.ArgumentParser()
+    ap.add_argument("--dataset", default="synthetic",
+                    choices=["synthetic", "synthetic_longrange"])
     ap.add_argument("--num_videos", type=int, default=100)
     ap.add_argument("--T", type=int, default=100)
     ap.add_argument("--batch_size", type=int, default=16)
@@ -35,15 +37,20 @@ def main():
     from lfvdm_tpu.data.datasets import get_test_dataset
     from lfvdm_tpu.evals.fvd import FVD, frechet_distance
 
-    test_set = get_test_dataset("synthetic", T=args.T)
+    test_set = get_test_dataset(args.dataset, T=args.T)
     fvd = FVD(batch_size=args.batch_size)
 
     def feats(idx_lo):
         out = []
         for start in range(idx_lo, idx_lo + args.num_videos, args.batch_size):
+            # Clamp the tail batch (mirrors video_fvd.py's pairing loop):
+            # without it the last batch overran into [idx_lo+num_videos, ...),
+            # making the two "disjoint" draws share videos and each side
+            # N=112 instead of the gate's N=100 (ADVICE r4, medium).
+            stop = min(start + args.batch_size, idx_lo + args.num_videos)
             batch = np.stack([
                 to_uint8_thwc(np.asarray(test_set[i]), True)[: args.T]
-                for i in range(start, start + args.batch_size)])
+                for i in range(start, stop)])
             out.append(fvd.extract_features(batch))
         return np.concatenate(out)
 
@@ -52,7 +59,7 @@ def main():
     a, b = feats(0), feats(args.num_videos)
     floor = frechet_distance(a, b)
     print(json.dumps({
-        "metric": "synthetic_heldout_fvd_noise_floor",
+        "metric": f"{args.dataset}_heldout_fvd_noise_floor",
         "value": round(float(floor), 6),
         "unit": "FVD (pinned-seed random I3D; real-vs-real disjoint draws)",
         "num_videos": args.num_videos,

@@ -33,6 +33,11 @@ video_data_paths_dict = {
     "carla_no_traffic": "datasets/carla/no-traffic",
     "carla_no_traffic_2x": "datasets/carla/no-traffic",
     "carla_no_traffic_2x_encoded": "datasets/carla/no-traffic-encoded",
+    # In-env latent regime (VERDICT r4 item 2): synthetic videos at 256px,
+    # SVD-VAE-encoded offline to 32x32 C4 latents — the reference's latent
+    # config shape (README.md:14) with the fixture-converted deterministic
+    # VAE. Built by benchmarks/prep_synthetic_latent.py.
+    "synthetic_encoded": "datasets/synthetic-encoded",
 }
 
 default_T_dict = {
@@ -41,6 +46,7 @@ default_T_dict = {
     "carla_no_traffic": 1000,
     "carla_no_traffic_2x": 1000,
     "carla_no_traffic_2x_encoded": 1000,
+    "synthetic_encoded": 100,
 }
 
 default_image_size_dict = {
@@ -49,10 +55,12 @@ default_image_size_dict = {
     "carla_no_traffic": 128,
     "carla_no_traffic_2x": 256,
     "carla_no_traffic_2x_encoded": 32,
+    "synthetic_encoded": 32,
 }
 
 data_encoding_stats_dict = {
     "carla_no_traffic_2x_encoded": "datasets/carla/no-traffic-encoded/encoded_train_norm_stats.pt",
+    "synthetic_encoded": "datasets/synthetic-encoded/encoded_train_norm_stats.pt",
 }
 
 
@@ -221,6 +229,22 @@ class NpyPerVideoDataset(BaseVideoDataset):
         return 2 * video.transpose(0, 3, 1, 2) - 1
 
 
+class EncodedNpyDataset(NpyPerVideoDataset):
+    """{idx}.npy float32 (T, C, h, w) pre-encoded NORMALIZED latents.
+
+    The latent analogue of Carla2xDataset(encoded=True): items pass through
+    untouched (normalization happened offline in the prep script's second
+    pass; reference encode_latent.py:83-88)."""
+
+    def postprocess_video(self, video):
+        return np.asarray(video, dtype=np.float32)
+
+    def native_paths(self):
+        # The C++ loader streams uint8 (T, H, W, C) pixel videos; these are
+        # float32 (T, C, h, w) latents — use the Python path.
+        return None
+
+
 class SyntheticVideoDataset:
     """Deterministic procedural videos (moving gradients) for tests/benches."""
 
@@ -235,6 +259,12 @@ class SyntheticVideoDataset:
         self.num_videos, self.T, self.C, self.H, self.W = num_videos, T, C, H, W
         self.seed = seed
         self.is_test = False
+        # Per-instance LRU (ADVICE r4): the previous class-level first-64-wins
+        # dict pinned ~300 MB of host RAM for the process lifetime and
+        # silently stopped caching once 64 distinct keys had ever been seen
+        # (e.g. after a 200-video floor sweep), reintroducing the
+        # 0.36-0.6 s/step regeneration cost for every later instance.
+        self._video_cache: dict = {}
 
     def __len__(self):
         return self.num_videos
@@ -255,11 +285,18 @@ class SyntheticVideoDataset:
         vid = self._video_cache.get(key)
         if vid is None:
             vid = self._generate(self.seed + idx)
-            if len(self._video_cache) < 64:
-                self._video_cache[key] = vid
+            if len(self._video_cache) >= self.CACHE_CAP:
+                # LRU eviction (dicts iterate in insertion order): caching
+                # never silently stops, it just bounds resident bytes.
+                self._video_cache.pop(next(iter(self._video_cache)))
+            self._video_cache[key] = vid
+        else:
+            # refresh recency so steady-state revisits stay cached
+            self._video_cache.pop(key)
+            self._video_cache[key] = vid
         return vid
 
-    _video_cache: dict = {}
+    CACHE_CAP = 64  # ~5 MB/entry at the default shape -> ≤~300 MB/instance
 
     def _generate(self, seed) -> np.ndarray:
         rng = np.random.default_rng(seed)
@@ -270,6 +307,69 @@ class SyntheticVideoDataset:
         x = np.linspace(0, 2 * np.pi, self.W).reshape(1, 1, 1, -1)
         vid = np.sin(x + y + speed * t * 0.2 + phase).astype(np.float32)
         vid = vid.transpose(1, 0, 2, 3)  # (T, C, H, W) in [-1, 1]
+        vid.setflags(write=False)
+        return vid
+
+
+class SyntheticLongRangeDataset(SyntheticVideoDataset):
+    """Synthetic videos with GENUINE long-range temporal dependence.
+
+    Purpose: an in-env proxy for the reference's headline result — that
+    sampling-scheme choice matters (hierarchy-2 FVD 124 vs autoreg 246,
+    /root/reference/README.md:82). The plain ``synthetic`` sinusoids are
+    fully determined by any few frames, so every scheme saturates the
+    quality gate identically (VERDICT r4). Here each video carries hidden
+    per-video structure whose CONSISTENCY HORIZON exceeds the sampler
+    window:
+
+      * a regime square wave: the stripe orientation flips every ``s``
+        frames, with s ~ U{25..45} and a hidden phase. Real videos keep s
+        CONSTANT for the whole video. Within a segment the appearance gives
+        zero information about time-since-switch (the carrier drift is
+        continuous across switches), and s > max_frames always, so a
+        sliding autoregressive window cannot know when the next flip is due
+        — it must hallucinate memoryless switches, producing segment-length
+        statistics no real video has. A hierarchy scheme's first call
+        jointly generates frames spanning the whole video conditioned on
+        the observations, so its anchors pin one globally consistent
+        (s, phase).
+      * a smooth carrier: the stripes drift at a per-video rate v, locally
+        identifiable from any two frames — per-frame quality stays easy;
+        only the LONG-RANGE statistic separates the schemes.
+
+    Defaults to more train videos than ``synthetic`` (64 vs 16): the model
+    must learn the regime RULE, not memorize 16 (s, phase) combinations —
+    the held-out split (disjoint seed range) has unseen parameters.
+    """
+
+    def __init__(self, num_videos=64, T=100, C=3, H=64, W=64, seed=0):
+        super().__init__(num_videos=num_videos, T=T, C=C, H=H, W=W, seed=seed)
+
+    # exposed for tests and the contrast diagnostics
+    S_MIN, S_MAX = 25, 45
+
+    def regime_params(self, seed):
+        """(s, phase0, v, psi) drawn for ``seed`` — the same stream
+        ``_generate`` uses, so tests can re-derive ground truth."""
+        rng = np.random.default_rng(seed)
+        s = int(rng.integers(self.S_MIN, self.S_MAX + 1))
+        phase0 = int(rng.integers(0, 2 * s))
+        v = 0.10 + 0.15 * rng.random()
+        psi = float(rng.random() * 2 * np.pi)
+        return s, phase0, v, psi, rng
+
+    def _generate(self, seed) -> np.ndarray:
+        s, phase0, v, psi, rng = self.regime_params(seed)
+        chan = rng.random(self.C) * 2 * np.pi
+        t = np.arange(self.T)
+        regime = ((t + phase0) // s) % 2  # (T,) 0/1 square wave
+        sign = (1.0 - 2.0 * regime).reshape(-1, 1, 1, 1)
+        y = np.linspace(0, 2 * np.pi, self.H).reshape(1, 1, -1, 1)
+        x = np.linspace(0, 2 * np.pi, self.W).reshape(1, 1, 1, -1)
+        # stripes along x+y (regime 0) or x-y (regime 1), drifting at v
+        grid = 2.0 * x + 2.0 * y * sign
+        phases = (v * t).reshape(-1, 1, 1, 1) + psi + chan.reshape(1, -1, 1, 1)
+        vid = np.sin(grid + phases).astype(np.float32)
         vid.setflags(write=False)
         return vid
 
@@ -293,6 +393,16 @@ def _build_dataset(dataset_name, data_path, T, train, shard, num_shards):
         if not train:
             ds.set_test()
         return ds
+    if dataset_name == "synthetic_longrange":
+        ds = SyntheticLongRangeDataset(T=T or 100)
+        if not train:
+            ds.set_test()
+        return ds
+    if dataset_name == "synthetic_encoded":
+        assert shard == 0 and num_shards == 1, \
+            "synthetic_encoded is not shardable (single dir)"
+        return EncodedNpyDataset(
+            os.path.join(data_path, "train" if train else "test"), T=T)
     raise ValueError(f"unknown dataset: {dataset_name}")
 
 
@@ -315,7 +425,8 @@ def load_data(dataset_name, batch_size, T=None, deterministic=False,
 
     T = default_T_dict.get(dataset_name) if T is None else T
     data_path = _data_root_path(video_data_paths_dict.get(dataset_name, ""))
-    shardable = dataset_name.startswith("carla") or dataset_name == "synthetic"
+    shardable = dataset_name.startswith("carla") or (
+        dataset_name.startswith("synthetic") and "encoded" not in dataset_name)
     if not shardable and jax.process_count() > 1:
         # Mirror the reference's hard stop (video_datasets.py:231-232,
         # 250-251): running these unsharded on a pod would feed every

@@ -107,6 +107,16 @@ def two_group_softmax(logits: jnp.ndarray, attn_mask: Optional[jnp.ndarray]) -> 
     only among themselves. Always computed in float32 (rpe.py:156-163).
     """
     logits = logits.astype(jnp.float32)
+    if os.environ.get("LFVDM_BREAK_TWO_GROUP", "0") == "1":
+        # DIAGNOSTIC ONLY — deliberately reintroduces the mask-semantics bug
+        # class the two-group softmax exists to prevent (real frames attend
+        # to padding frames). Used by the quality gate's broken-arm
+        # calibration (BASELINE.md): a model TRAINED under this flag must
+        # score measurably worse, proving the gate catches mask-semantics
+        # regressions, not just undertraining (VERDICT r4 item 4).
+        print("WARNING: LFVDM_BREAK_TWO_GROUP=1 — two-group masked softmax "
+              "DISABLED (diagnostic broken-arm; never use in production)")
+        attn_mask = None
     if attn_mask is not None:
         m = attn_mask.astype(jnp.float32)
         allowed = m[:, :, None] * m[:, None, :] + (1 - m[:, :, None]) * (1 - m[:, None, :])

@@ -114,9 +114,11 @@ def init_train_state(params, tx, ema_rates) -> Dict[str, Any]:
 def _fused_adamw_ema(params, safe_grads, opt_state, ema, ema_rates, hp):
     """Single-traversal AdamW + multi-rate EMA (LFVDM_FUSED_OPT=1).
 
-    Bit-identical math to the optax chain it replaces —
+    Same update math as the optax chain it replaces —
     ``scale_by_adam -> add_decayed_weights -> scale_by_learning_rate`` with
-    the exact optax bias-correction/count semantics — and the SAME opt_state
+    the exact optax bias-correction/count semantics (pinned to rtol 1e-6 by
+    test_fused_opt.py; the two paths reassociate float ops, so equality is
+    near-ulp, not bitwise) — and the SAME opt_state
     structure, so checkpoints are interchangeable between the two paths
     (pinned by test_train_loop.py). One ``jax.tree.map`` computes new
     params, Adam moments, and every EMA copy per leaf, instead of optax's
@@ -261,6 +263,16 @@ def make_train_step(
         safe_grads = jax.tree.map(lambda g: jnp.where(finite, g, jnp.zeros_like(g)), grads)
         fused_hp = (_OPT_HYPERPARAMS.get(tx)
                     if os.environ.get("LFVDM_FUSED_OPT", "0") == "1" else None)
+        if os.environ.get("LFVDM_FUSED_OPT", "0") == "1" and fused_hp is None:
+            # The fused arm rebuilds the update math from the hyperparameters
+            # make_optimizer recorded; an optimizer constructed any other way
+            # has no record — fall back LOUDLY, not silently (VERDICT r4).
+            import warnings
+
+            warnings.warn(
+                "LFVDM_FUSED_OPT=1 ignored: this optimizer was not built by "
+                "make_optimizer(), so its hyperparameters are unknown; "
+                "running the standard optax path instead")
         if fused_hp is not None:
             new_params, new_opt_state, new_ema_raw = _fused_adamw_ema(
                 state["params"], safe_grads, state["opt_state"], state["ema"],

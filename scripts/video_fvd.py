@@ -22,7 +22,7 @@ from lfvdm_tpu.evals.fvd import FVD
 
 BATCH_SIZES = {"mazes_cwvae": 16, "minerl": 8, "carla_no_traffic": 4,
                "carla_no_traffic_2x": 4, "carla_no_traffic_2x_encoded": 4,
-               "synthetic": 16}
+               "synthetic": 16, "synthetic_longrange": 16}
 
 
 class SampleDataset:
@@ -63,18 +63,30 @@ def real_dataset_name(dataset_name: str) -> str:
 
 
 def compute_fvd(eval_dir: Path, dataset_name: str, num_videos: int, sample_idx: int,
-                T: int, i3d_weights=None, batch_size=None, mesh=None) -> float:
+                T: int, i3d_weights=None, batch_size=None, mesh=None,
+                real_dir=None) -> float:
     if batch_size is None:
         batch_size = BATCH_SIZES.get(dataset_name, 8)
     fvd = FVD(i3d_weights=i3d_weights, batch_size=batch_size, mesh=mesh)
     samples = SampleDataset(eval_dir / "samples", sample_idx, num_videos)
-    test_set = get_test_dataset(real_dataset_name(dataset_name), T=T)
+    if real_dir is not None:
+        # Real side from a directory of sample-format uint8 .npy files
+        # instead of the test dataset — e.g. VAE-roundtripped reals for the
+        # latent gate (benchmarks/prep_synthetic_latent.py): both sides go
+        # through the SAME decoder, so decoder error cancels and the score
+        # isolates latent-space model quality.
+        real_set = SampleDataset(Path(real_dir), 0, num_videos)
+        real_unit_range = False
+    else:
+        real_set = get_test_dataset(real_dataset_name(dataset_name), T=T)
+        real_unit_range = True
 
     fake_feats, real_feats = [], []
     for start in range(0, num_videos, batch_size):
         idxs = list(range(start, min(start + batch_size, num_videos)))
         fake = np.stack([to_uint8_thwc(samples[i], False)[:T] for i in idxs])
-        real = np.stack([to_uint8_thwc(np.asarray(test_set[i]), True)[:T] for i in idxs])
+        real = np.stack([to_uint8_thwc(np.asarray(real_set[i]), real_unit_range)[:T]
+                         for i in idxs])
         # zero-pad the final partial batch (video_fvd.py:44-55)
         if len(idxs) < batch_size:
             pad = batch_size - len(idxs)
@@ -101,6 +113,11 @@ def create_argparser():
     parser.add_argument("--dp_devices", type=int, default=1,
                         help="shard each I3D feature batch over this many "
                              "local devices (pick --batch_size a multiple)")
+    parser.add_argument("--real_dir", type=str, default=None,
+                        help="directory of sample-format uint8 .npy files to "
+                             "use as the REAL side instead of the test "
+                             "dataset (e.g. VAE-roundtripped reals for the "
+                             "latent gate)")
     return parser
 
 
@@ -130,7 +147,8 @@ def main():
 
     score = compute_fvd(eval_dir, dataset, args.num_videos, args.sample_idx, T,
                         batch_size=args.batch_size,
-                        i3d_weights=args.i3d_weights, mesh=mesh)
+                        i3d_weights=args.i3d_weights, mesh=mesh,
+                        real_dir=args.real_dir)
     out_path.write_text(f"{score}\n")
     print(f"FVD: {score} (saved to {out_path})")
 

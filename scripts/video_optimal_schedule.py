@@ -23,6 +23,23 @@ candidates and that step's latent frames:
                            with the same embedder). Uses the deterministic
                            random backbone unless LFVDM_LPIPS_WEIGHTS is set.
 
+The reference's four declared strategy names
+(/root/reference/scripts/video_sample.py:185-187 — the generator defining
+them was never shipped) are implemented from their names' plain reading and
+accepted both here and by scripts/video_sample.py (PARITY.md documents the
+mapping):
+
+  --optimality linspace-t  obs frames evenly spaced over the done pool's
+                           time span (nearest pool frame to each linspace
+                           target).
+  --optimality random-t    uniformly random distinct pool frames
+                           (deterministic per --seed and step).
+  --optimality linspace-t-force-nearby / random-t-force-nearby
+                           same, but the nearest done frame on each side of
+                           the latent block is forced into the conditioning
+                           first (the bracket the hierarchy scheme relies
+                           on), remaining slots filled by the base strategy.
+
 Outputs torch.save'd ``{step: [obs indices]}`` at --eval_dir/
 optimal_schedule.pt — exactly the file scripts/video_sample.py loads when
 ``--optimality`` is passed. Every chosen index is drawn from that step's
@@ -66,6 +83,43 @@ def score_lpips(pool, latent, sim):
     return sim[np.ix_(pool, latent)].mean(axis=1)
 
 
+def pick_linspace_t(pool, n_slots, rng=None):
+    """Nearest pool frame to each of n_slots evenly spaced time targets."""
+    pool = list(pool)
+    targets = np.linspace(min(pool), max(pool), n_slots)
+    chosen = []
+    for tgt in targets:
+        free = [p for p in pool if p not in chosen]
+        if not free:
+            break
+        chosen.append(min(free, key=lambda p: (abs(p - tgt), p)))
+    return chosen
+
+
+def pick_random_t(pool, n_slots, rng):
+    pool = list(pool)
+    take = min(n_slots, len(pool))
+    return [int(i) for i in rng.choice(pool, size=take, replace=False)]
+
+
+def pick_force_nearby(pool, latent, n_slots, base_pick, rng):
+    """Force the nearest done frame on each side of the latent block, then
+    fill the remaining slots with the base strategy over the rest."""
+    pool = list(pool)
+    lo, hi = min(latent), max(latent)
+    forced = []
+    before = [p for p in pool if p < lo]
+    after = [p for p in pool if p > hi]
+    if before:
+        forced.append(max(before))
+    if after and len(forced) < n_slots:
+        forced.append(min(after))
+    rest_pool = [p for p in pool if p not in forced]
+    n_rest = n_slots - len(forced)
+    rest = base_pick(rest_pool, n_rest, rng) if n_rest > 0 and rest_pool else []
+    return forced + list(rest)
+
+
 def embedding_similarity(dataset_name, T, num_videos, image_size):
     """(T, T) frame-pair similarity, averaged over training videos."""
     from lfvdm_tpu.data.datasets import (
@@ -88,17 +142,40 @@ def embedding_similarity(dataset_name, T, num_videos, image_size):
     return np.mean(sims, axis=0)
 
 
-def build_schedule(steps, scorer):
-    """Greedy top-n_slots candidates by score; ties break toward the
-    scheme's temporal order (stable argsort on -score)."""
+def build_schedule(steps, scorer=None, picker=None):
+    """Per step: top-n_slots candidates by ``scorer`` (stable argsort on
+    -score, ties toward temporal order), or a direct ``picker(pool, latent,
+    n_slots, step)`` for the reference-named strategies."""
     schedule = {}
     for s in steps:
         if s["n_slots"] == 0 or not s["pool"]:
             continue  # unconditional step: nothing to override
-        scores = scorer(s["pool"], s["latent"])
-        order = np.argsort(-scores, kind="stable")[: s["n_slots"]]
-        schedule[s["step"]] = sorted(int(s["pool"][i]) for i in order)
+        if picker is not None:
+            chosen = picker(s["pool"], s["latent"], s["n_slots"], s["step"])
+        else:
+            scores = scorer(s["pool"], s["latent"])
+            order = np.argsort(-scores, kind="stable")[: s["n_slots"]]
+            chosen = [s["pool"][i] for i in order]
+        schedule[s["step"]] = sorted(int(i) for i in chosen)
     return schedule
+
+
+REFERENCE_STRATEGIES = ("linspace-t", "random-t",
+                        "linspace-t-force-nearby", "random-t-force-nearby")
+
+
+def make_reference_picker(optimality, seed):
+    """Picker for one of the reference's four declared strategy names."""
+    base = pick_linspace_t if optimality.startswith("linspace") else pick_random_t
+    force = optimality.endswith("-force-nearby")
+
+    def picker(pool, latent, n_slots, step):
+        rng = np.random.default_rng(seed + step)  # deterministic per step
+        if force:
+            return pick_force_nearby(pool, latent, n_slots, base, rng)
+        return base(pool, n_slots, rng)
+
+    return picker
 
 
 def main():
@@ -108,7 +185,10 @@ def main():
                          "optimal_schedule.pt is written here")
     ap.add_argument("--sampling_scheme", required=True,
                     choices=sorted(sampling_schemes))
-    ap.add_argument("--optimality", default="index", choices=["index", "lpips"])
+    ap.add_argument("--optimality", default="index",
+                    choices=["index", "lpips", *REFERENCE_STRATEGIES])
+    ap.add_argument("--seed", type=int, default=0,
+                    help="determinism for the random-t strategies")
     ap.add_argument("--T", type=int, required=True)
     ap.add_argument("--n_obs", type=int, default=0)
     ap.add_argument("--max_frames", type=int, required=True)
@@ -121,14 +201,16 @@ def main():
 
     steps = dry_run_scheme(args.sampling_scheme, args.T, args.n_obs,
                            args.max_frames, args.step_size)
-    if args.optimality == "index":
-        scorer = score_index
+    if args.optimality in REFERENCE_STRATEGIES:
+        schedule = build_schedule(
+            steps, picker=make_reference_picker(args.optimality, args.seed))
+    elif args.optimality == "index":
+        schedule = build_schedule(steps, scorer=score_index)
     else:
         sim = embedding_similarity(args.dataset, args.T, args.num_videos,
                                    args.image_size)
-        scorer = lambda pool, latent: score_lpips(pool, latent, sim)  # noqa: E731
-
-    schedule = build_schedule(steps, scorer)
+        schedule = build_schedule(
+            steps, scorer=lambda pool, latent: score_lpips(pool, latent, sim))
     out_dir = Path(args.eval_dir)
     out_dir.mkdir(parents=True, exist_ok=True)
     out = out_dir / "optimal_schedule.pt"
