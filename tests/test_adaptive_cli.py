@@ -34,13 +34,35 @@ def _run(cmd):
 
 @pytest.fixture(scope="module")
 def tiny_ckpt(tmp_path_factory):
+    """Orbax run dir with a tiny model, saved in-process.
+
+    Training the checkpoint through video_train.py would exercise nothing
+    this test is after (the sampler CLI's adaptive path) while paying a
+    multi-minute CPU XLA compile of the full train step; the checkpoint
+    format contract itself is pinned by test_checkpoint_partial.py."""
+    import jax
+    import jax.numpy as jnp
+
+    from lfvdm_tpu.config import create_model_and_diffusion
+    from lfvdm_tpu.training.checkpoint import save_checkpoint
+
+    cfg = dict(image_size=64, in_channels=3, num_channels=16,
+               num_res_blocks=1, diffusion_steps=4, noise_schedule="cosine",
+               max_frames=4, T=16, dataset="synthetic")
+    model, _ = create_model_and_diffusion(cfg)
+    B, K = 1, 4
+    x = jnp.zeros((B, K, 3, 64, 64), jnp.float32)
+    m = jnp.zeros((B, K, 1, 1, 1), jnp.float32)
+    params = model.init(jax.random.PRNGKey(0), x, jnp.zeros((B,), jnp.int32),
+                        x0=x, frame_indices=jnp.zeros((B, K), jnp.int32),
+                        obs_mask=m, latent_mask=1 - m)
+    # perturb: fresh-init output heads are zero-init (samples would be
+    # pure posterior noise either way, but keep the weights generic)
+    params = jax.tree.map(
+        lambda p: p + 0.01 * jax.random.normal(jax.random.PRNGKey(1), p.shape,
+                                               p.dtype), params)
     ckpt_dir = tmp_path_factory.mktemp("ckpt")
-    _run(["scripts/video_train.py", "--dataset", "synthetic", "--T", "16",
-          "--batch_size", "2", "--max_frames", "4", "--num_channels", "16",
-          "--num_res_blocks", "1", "--diffusion_steps", "4",
-          "--noise_schedule", "cosine",  # linear betas exceed 1 at 4 steps
-          "--max_steps", "2", "--save_interval", "1", "--sample_interval", "0",
-          "--checkpoint_dir", str(ckpt_dir), "--seed", "0"])
+    save_checkpoint(str(ckpt_dir), 1, {"params": params}, config=cfg)
     return ckpt_dir
 
 
