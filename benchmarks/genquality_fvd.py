@@ -119,11 +119,18 @@ def main():
              "--sample_interval", "0", "--log_interval", "500",
              "--checkpoint_dir", ckpt_dir, "--seed", "0"])
 
+    # --ema_rate raw: at this gate's horizons (400-8000 steps) EMA(0.9999)
+    # still weights the INITIAL RANDOM params by 0.9999^N (74% at 3000
+    # steps) — sampling it scores near-init mush, which is exactly what the
+    # round-3/4 rows did (discovered + corrected round 5, BASELINE.md). The
+    # reference's own eval samples EMA because its checkpoints have 550k
+    # steps, where EMA(0.9999) is converged.
     sample_cmd = ["scripts/video_sample.py", ckpt_dir,
                   "--sampling_scheme", args.sampling_scheme,
                   "--eval_dir", eval_dir, "--dataset", train_dataset,
                   "--T", args.T, "--max_frames", args.max_frames,
                   "--n_obs", args.n_obs, "--batch_size", "4",
+                  "--ema_rate", "raw",
                   "--stop_index", args.num_videos, "--seed", "0"]
     if vae_prefix:
         sample_cmd += ["--vae_weights", vae_prefix]

@@ -103,11 +103,16 @@ def load_ema_params(ckpt_dir: str, step: Optional[int] = None,
     with ocp.PyTreeCheckpointer() as ckptr:
         meta = ckptr.metadata(path).item_metadata.tree
         ema_rates = sorted(meta.get("ema", {}).keys()) if "ema" in meta else []
-        if ema_rates:
+        if ema_rates and str(rate) != "raw":
             rate = str(rate) if rate is not None else ema_rates[-1]
             assert rate in ema_rates, f"EMA rate {rate} not in checkpoint ({ema_rates})"
             target, picked = {"ema": {rate: meta["ema"][rate]}}, rate
         else:
+            # rate="raw" forces the raw training params even when EMA trees
+            # exist. Essential for SHORT-horizon eval: EMA(0.9999) after N
+            # steps still carries 0.9999^N of the INITIAL RANDOM weights
+            # (74% at N=3000) — the round-5 discovery that every earlier
+            # quality-gate row had sampled near-init mush (BASELINE.md).
             target, picked = {"params": meta["params"]}, None
         # Restore as host numpy — the saved sharding metadata names devices
         # of the TRAINING topology, which eval hosts need not have; jit
@@ -121,6 +126,14 @@ def load_ema_params(ckpt_dir: str, step: Optional[int] = None,
             )
         )
     params = restored["ema"][picked] if picked is not None else restored["params"]
+    if picked is not None:
+        # EMA(r) after N steps still weights the step-0 random init by r^N.
+        init_frac = float(picked) ** max(step, 0)
+        if init_frac > 0.05:
+            print(f"WARNING: EMA({picked}) at step {step} still carries "
+                  f"{init_frac:.0%} of the INITIAL RANDOM weights — for "
+                  "short-horizon checkpoints sample rate='raw' instead "
+                  "(BASELINE.md round 5)")
     config = {}
     cfg_path = os.path.join(ckpt_dir, "config.json")
     if os.path.exists(cfg_path):

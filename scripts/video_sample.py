@@ -27,8 +27,16 @@ from lfvdm_tpu.utils.locks import Protect
 from lfvdm_tpu.utils.paths import get_eval_run_identifier, get_model_results_path
 
 
-def load_model_from_checkpoint(path: str, use_ddim: bool, timestep_respacing: str):
-    """Load params + config from an orbax run dir or a reference .pt file."""
+def load_model_from_checkpoint(path: str, use_ddim: bool, timestep_respacing: str,
+                               ema_rate: str = None):
+    """Load params + config from an orbax run dir or a reference .pt file.
+
+    ``ema_rate``: which weight copy an orbax run dir yields — None picks the
+    highest saved EMA rate (the reference's eval default), a specific rate
+    string picks that EMA, and ``"raw"`` forces the raw training params.
+    Raw is the right estimand for short training horizons: EMA(0.9999)
+    after N steps still weights the initial random params by 0.9999^N
+    (74% at the quality gate's 3000 steps — BASELINE.md round 5)."""
     if path.endswith(".pt"):
         from lfvdm_tpu.utils.torch_convert import convert_reference_checkpoint
 
@@ -47,7 +55,7 @@ def load_model_from_checkpoint(path: str, use_ddim: bool, timestep_respacing: st
         # the reference's "eval needs only a checkpoint path" workflow
         # (video_sample.py:205-213) straight from a training run. Partial
         # restore: only the one EMA tree is read, not the ~5x train state.
-        params, rate, step, config = ckpt_lib.load_ema_params(path)
+        params, rate, step, config = ckpt_lib.load_ema_params(path, rate=ema_rate)
         which = f"EMA({rate})" if rate is not None else "raw"
         print(f"loaded {which} params at step {step} from {path}")
     else:
@@ -130,6 +138,14 @@ def create_argparser():
                                  "linspace-t-force-nearby",
                                  "random-t-force-nearby"])
     parser.add_argument("--seed", type=int, default=0)
+    parser.add_argument("--ema_rate", type=str, default=None,
+                        help="which weight copy to sample from an orbax run "
+                             "dir: default = highest saved EMA rate "
+                             "(reference eval behavior), a specific rate "
+                             "(e.g. 0.9999), or 'raw' for the raw training "
+                             "params — use raw for short-horizon runs, where "
+                             "EMA(0.9999) is still mostly the initial "
+                             "random weights (BASELINE.md round 5)")
     parser.add_argument("--compilation_cache_dir", type=str, default=None)
     parser.add_argument("--encoder_reuse", type=int, default=1,
                         help="run the U-Net encoder every k-th diffusion step and "
@@ -191,7 +207,8 @@ def main():
     indices = shard_indices_for_process(list(range(args.start_index, args.stop_index)))
 
     model, diffusion, params, config = load_model_from_checkpoint(
-        args.checkpoint_path, args.use_ddim, args.timestep_respacing
+        args.checkpoint_path, args.use_ddim, args.timestep_respacing,
+        ema_rate=args.ema_rate,
     )
     if args.max_frames is None:
         args.max_frames = config.get("max_frames", 20)

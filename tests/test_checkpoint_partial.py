@@ -57,3 +57,21 @@ def test_load_ema_params_falls_back_to_params(tmp_path):
     assert rate is None and step == 1
     np.testing.assert_allclose(np.asarray(params["dense"]["kernel"]),
                                np.asarray(state["params"]["dense"]["kernel"]))
+
+
+def test_load_ema_params_raw_forces_training_params(tmp_path, capsys):
+    """rate='raw' must yield the RAW training params even when EMA trees
+    exist — the short-horizon eval estimand: EMA(0.9999) after N steps
+    still weights the initial random params by 0.9999^N (74% at the quality
+    gate's 3000 steps; every round-3/4 gate row unknowingly sampled that
+    near-init blend — BASELINE.md round 5)."""
+    state = _fake_state()
+    ckpt_lib.save_checkpoint(str(tmp_path), 3000, state)
+    params, rate, step, _ = ckpt_lib.load_ema_params(str(tmp_path), rate="raw")
+    assert rate is None and step == 3000
+    np.testing.assert_allclose(np.asarray(params["dense"]["kernel"]),
+                               np.asarray(state["params"]["dense"]["kernel"]))
+    # and the default EMA path warns about init contamination at this step
+    _, rate2, _, _ = ckpt_lib.load_ema_params(str(tmp_path))
+    assert rate2 == "0.9999"
+    assert "INITIAL RANDOM weights" in capsys.readouterr().out
