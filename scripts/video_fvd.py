@@ -122,9 +122,10 @@ def create_argparser():
 
 
 def main():
-    from lfvdm_tpu.config import apply_platform_env
+    from lfvdm_tpu.config import apply_platform_env, enable_compilation_cache
 
     apply_platform_env()  # $LFVDM_PLATFORM=cpu forces CPU (config-level)
+    enable_compilation_cache()  # I3D jit re-compiles are minutes on the tunnel
     args = create_argparser().parse_args()
 
     eval_dir = Path(args.eval_dir)
