@@ -63,6 +63,19 @@ def main():
     ap.add_argument("--batch_size", type=int, default=8)
     ap.add_argument("--skip_train", action="store_true",
                     help="reuse the checkpoint already in --workdir")
+    ap.add_argument("--ckpt_dir", default=None,
+                    help="sample from this existing run dir instead of "
+                         "<workdir>/ckpt (rows sharing one checkpoint: "
+                         "dpm20, adaptive-*, broken-arm scoring)")
+    ap.add_argument("--use_dpm", action="store_true",
+                    help="sample with DPM-Solver++(2M); set the model-call "
+                         "count with --timestep_respacing dpmN")
+    ap.add_argument("--timestep_respacing", default="",
+                    help="passed through to video_sample.py")
+    ap.add_argument("--train_env", default="",
+                    help="NAME=VALUE[,NAME=VALUE...] env for the TRAIN step "
+                         "only (e.g. the LFVDM_BREAK_TWO_GROUP=1 broken-arm "
+                         "calibration)")
     ap.add_argument("--sampling_scheme", default="hierarchy-2",
                     help="any sampling_schemes registry key; the reference "
                          "headlines hierarchy-2 (FVD 124) and autoreg "
@@ -87,7 +100,9 @@ def main():
         ap.error(f"--sampling_scheme {args.sampling_scheme!r} is not a "
                  f"registry key: {sorted(sampling_schemes)}")
 
-    ckpt_dir = os.path.join(args.workdir, "ckpt")
+    ckpt_dir = args.ckpt_dir or os.path.join(args.workdir, "ckpt")
+    if args.ckpt_dir:
+        assert args.skip_train, "--ckpt_dir implies --skip_train"
     eval_dir = os.path.join(args.workdir, "samples")
     os.makedirs(eval_dir, exist_ok=True)
 
@@ -106,6 +121,12 @@ def main():
         real_dir = os.path.join(enc_root, "roundtrip_real")
 
     if not args.skip_train:
+        train_env = None
+        if args.train_env:
+            train_env = dict(os.environ)
+            for kv in args.train_env.split(","):
+                k, v = kv.split("=", 1)
+                train_env[k] = v
         run(["scripts/video_train.py", "--dataset", train_dataset,
              "--T", args.T, "--batch_size", args.batch_size,
              "--max_frames", args.max_frames,
@@ -117,7 +138,8 @@ def main():
              "--lr", "2e-4", "--max_steps", args.train_steps,
              "--save_interval", max(args.train_steps - 1, 1),
              "--sample_interval", "0", "--log_interval", "500",
-             "--checkpoint_dir", ckpt_dir, "--seed", "0"])
+             "--checkpoint_dir", ckpt_dir, "--seed", "0"],
+            env=train_env)
 
     # --ema_rate raw: at this gate's horizons (400-8000 steps) EMA(0.9999)
     # still weights the INITIAL RANDOM params by 0.9999^N (74% at 3000
@@ -134,6 +156,10 @@ def main():
                   "--stop_index", args.num_videos, "--seed", "0"]
     if vae_prefix:
         sample_cmd += ["--vae_weights", vae_prefix]
+    if args.use_dpm:
+        sample_cmd += ["--use_dpm", "True"]
+    if args.timestep_respacing:
+        sample_cmd += ["--timestep_respacing", args.timestep_respacing]
     run(sample_cmd)
 
     # video_sample.py nests its outputs in a scheme-named subdirectory of
@@ -158,6 +184,8 @@ def main():
     m = re.search(r"FVD\s*[:=]\s*([0-9.eE+-]+)", out)
     fvd = float(m.group(1)) if m else float("nan")
     scheme_slug = args.sampling_scheme.replace("-", "")
+    if args.use_dpm:
+        scheme_slug += f"_dpm{args.timestep_respacing.replace('dpm', '')}"
     ds_slug = "" if args.dataset == "synthetic" else "_longrange"
     space_slug = "" if args.diffusion_space == "pixel" else f"_{args.diffusion_space}"
     print(json.dumps({

@@ -81,6 +81,9 @@ def main():
     def pixel_dataset(test):
         ds = cls(num_videos=max(args.num_train, args.num_test),
                  T=args.T, H=256, W=256)
+        # each video is visited once; at 256px an LRU-cached video is ~78 MB,
+        # so default caching would pin ~5 GB of host RAM for nothing
+        ds.CACHE_CAP = 1
         if test:
             ds.set_test()
         return ds
