@@ -104,14 +104,45 @@ class FVD:
 
         self.extractor = I3DFeatureExtractor(weights_path=i3d_weights, mesh=mesh)
         self.batch_size = batch_size
+        self.mesh = mesh
+        self._fused = None
+
+    def _fused_features(self, chunk: np.ndarray) -> np.ndarray:
+        """One jitted uint8 (B,T,H,W,C) -> (B,400) call: resize + scale + I3D
+        all on device. The previous two-step path (preprocess_videos ->
+        extractor) fetched the resized float32 tensor to host and re-uploaded
+        it — ~2 GB of transfer per 16-video batch on a tunneled runtime,
+        which dominated FVD wall clock 10x over (round-5 measurement: 35-45
+        min per 200-video scoring vs ~3 min fused). Same ops, same numerics.
+        """
+        import jax
+        import jax.numpy as jnp
+
+        if self._fused is None:
+            ext = self.extractor
+
+            def fn(v):
+                B, T, H, W, C = v.shape
+                x = v.astype(jnp.float32).reshape(B * T, H, W, C)
+                x = jax.image.resize(x, (B * T, 224, 224, C), "bilinear")
+                x = 2.0 * x.reshape(B, T, 224, 224, C) / 255.0 - 1.0
+                return ext.module.apply(ext.variables, x)
+
+            self._fused = jax.jit(fn)
+        return np.asarray(self._fused(jnp.asarray(chunk)))
 
     def extract_features(self, videos: np.ndarray) -> np.ndarray:
         """uint8 (B, T, H, W, C) -> (B, 400) logit features (reference taps
         the 400-d kinetics logits, frechet_video_distance.py:72-111)."""
         feats = []
         for i in range(0, len(videos), self.batch_size):
-            chunk = preprocess_videos(videos[i:i + self.batch_size])
-            feats.append(self.extractor(chunk))
+            if self.mesh is None:
+                feats.append(self._fused_features(videos[i:i + self.batch_size]))
+            else:
+                # mesh path: batch-sharded device_put happens inside the
+                # extractor; preprocessing stays host-visible per shard
+                chunk = preprocess_videos(videos[i:i + self.batch_size])
+                feats.append(self.extractor(chunk))
         return np.concatenate(feats, axis=0)
 
     def compute(self, videos_fake: np.ndarray, videos_real: np.ndarray) -> float:
