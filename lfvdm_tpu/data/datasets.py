@@ -360,10 +360,21 @@ class SyntheticLongRangeDataset(SyntheticVideoDataset):
 
     def _generate(self, seed) -> np.ndarray:
         s, phase0, v, psi, rng = self.regime_params(seed)
-        chan = rng.random(self.C) * 2 * np.pi
         t = np.arange(self.T)
         regime = ((t + phase0) // s) % 2  # (T,) 0/1 square wave
-        sign = (1.0 - 2.0 * regime).reshape(-1, 1, 1, 1)
+        return self.generate_with_track(seed, regime)
+
+    def generate_with_track(self, seed, regime_track) -> np.ndarray:
+        """Render a video with seed's carrier but an EXPLICIT regime track.
+
+        Used by benchmarks/fvd_sensitivity_longrange.py to calibrate metric
+        sensitivity: surrogate videos that are pixel-perfect draws from the
+        generator except for a controlled corruption of the segment
+        statistic (the exact failure mode a windowed sampler produces)."""
+        s, phase0, v, psi, rng = self.regime_params(seed)
+        chan = rng.random(self.C) * 2 * np.pi
+        t = np.arange(self.T)
+        sign = (1.0 - 2.0 * np.asarray(regime_track)).reshape(-1, 1, 1, 1)
         y = np.linspace(0, 2 * np.pi, self.H).reshape(1, 1, -1, 1)
         x = np.linspace(0, 2 * np.pi, self.W).reshape(1, 1, 1, -1)
         # stripes along x+y (regime 0) or x-y (regime 1), drifting at v
