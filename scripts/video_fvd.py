@@ -64,7 +64,7 @@ def real_dataset_name(dataset_name: str) -> str:
 
 def compute_fvd(eval_dir: Path, dataset_name: str, num_videos: int, sample_idx: int,
                 T: int, i3d_weights=None, batch_size=None, mesh=None,
-                real_dir=None) -> float:
+                real_dir=None, temporal_stride: int = 1) -> float:
     if batch_size is None:
         batch_size = BATCH_SIZES.get(dataset_name, 8)
     fvd = FVD(i3d_weights=i3d_weights, batch_size=batch_size, mesh=mesh)
@@ -84,8 +84,14 @@ def compute_fvd(eval_dir: Path, dataset_name: str, num_videos: int, sample_idx: 
     fake_feats, real_feats = [], []
     for start in range(0, num_videos, batch_size):
         idxs = list(range(start, min(start + batch_size, num_videos)))
-        fake = np.stack([to_uint8_thwc(samples[i], False)[:T] for i in idxs])
-        real = np.stack([to_uint8_thwc(np.asarray(real_set[i]), real_unit_range)[:T]
+        # temporal_stride > 1: score on temporally subsampled frames — an
+        # aux protocol that moves slow statistics (e.g. the longrange
+        # datasets' 25-45-frame regime segments) into the early conv
+        # layers' receptive window; sensitivity calibrated per corruption
+        # mode by benchmarks/fvd_sensitivity_longrange.py.
+        fake = np.stack([to_uint8_thwc(samples[i], False)[:T][::temporal_stride]
+                         for i in idxs])
+        real = np.stack([to_uint8_thwc(np.asarray(real_set[i]), real_unit_range)[:T][::temporal_stride]
                          for i in idxs])
         # zero-pad the final partial batch (video_fvd.py:44-55)
         if len(idxs) < batch_size:
@@ -118,6 +124,10 @@ def create_argparser():
                              "use as the REAL side instead of the test "
                              "dataset (e.g. VAE-roundtripped reals for the "
                              "latent gate)")
+    parser.add_argument("--temporal_stride", type=int, default=1,
+                        help="score every k-th frame (aux protocol for slow "
+                             "temporal statistics; output file is suffixed "
+                             "-sK so stride variants don't collide)")
     return parser
 
 
@@ -129,7 +139,8 @@ def main():
     args = create_argparser().parse_args()
 
     eval_dir = Path(args.eval_dir)
-    out_path = eval_dir / f"fvd-{args.num_videos}-{args.sample_idx}.txt"
+    stride_sfx = f"-s{args.temporal_stride}" if args.temporal_stride != 1 else ""
+    out_path = eval_dir / f"fvd-{args.num_videos}-{args.sample_idx}{stride_sfx}.txt"
     if out_path.exists():
         print(f"{out_path} exists: FVD = {out_path.read_text().strip()}")
         return
@@ -149,7 +160,8 @@ def main():
     score = compute_fvd(eval_dir, dataset, args.num_videos, args.sample_idx, T,
                         batch_size=args.batch_size,
                         i3d_weights=args.i3d_weights, mesh=mesh,
-                        real_dir=args.real_dir)
+                        real_dir=args.real_dir,
+                        temporal_stride=args.temporal_stride)
     out_path.write_text(f"{score}\n")
     print(f"FVD: {score} (saved to {out_path})")
 
