@@ -511,6 +511,16 @@ class UNetVideoModel(nn.Module):
         # Observed frames bypass noising; an indicator channel marks them.
         obs = obs_mask.astype(x.dtype)
         indicator = jnp.ones_like(x[:, :, :1]) * obs
+        if os.environ.get("LFVDM_BREAK_OBS_INDICATOR", "0") == "1":
+            # DIAGNOSTIC ONLY — zeroes the indicator so the network cannot
+            # tell observed frames from latents (the mask-semantics bug
+            # class of unet.py:443-448). The quality gate's broken-arm
+            # calibration scores a healthy checkpoint under this flag to
+            # prove the gate catches conditioning-surface regressions
+            # (BASELINE.md round 5). Never use in production.
+            print("WARNING: LFVDM_BREAK_OBS_INDICATOR=1 — obs-indicator "
+                  "channel ZEROED (diagnostic broken-arm)")
+            indicator = jnp.zeros_like(indicator)
         x_in = jnp.concatenate([x * (1 - obs) + x0 * obs, indicator], axis=2)
 
         # -> NHWC, compute dtype.
